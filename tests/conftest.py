@@ -1,0 +1,23 @@
+"""
+Test configuration: force the JAX CPU backend with float64 enabled and an
+8-device virtual mesh, so accuracy tests reproduce the reference package's
+float64 semantics and sharding tests exercise multi-device code paths
+without TPU hardware.  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def data_dir():
+    return os.path.join(os.path.dirname(__file__), "data")
