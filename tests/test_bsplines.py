@@ -174,11 +174,8 @@ class TestDeBoor:
         y = np.sin(x) + 0.5 * x
         seq = kn.generate_lammps_knots(0, 6, 5)
         coeff = sp.fit_spline_1d(x, y, seq)
-        # edge coefficients may differ slightly from the reference's
-        # padded LSQUnivariateSpline fit; interior ones agree tightly
         assert np.allclose(np.round(coeff, 2),
-                           [-0.06, 1.59, 2.37, 1.16, 1.23, 1.77, 2.43, 2.71],
-                           atol=0.05)
+                           [-0.06, 1.59, 2.37, 1.16, 1.23, 1.77, 2.43, 2.71])
         mask = (x > 0) & (x < 6)
         yp = sp.evaluate_spline(x[mask], seq, coeff)
         rmse = np.sqrt(np.mean((y[mask] - yp) ** 2))

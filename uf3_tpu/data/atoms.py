@@ -65,6 +65,7 @@ class Atoms:
         self.info = dict(info) if info else {}
         self.arrays = {k: np.array(v) for k, v in arrays.items()} if arrays \
             else {}
+        self.calc = None  # optional attached calculator
 
     # -- core protocol ------------------------------------------------------
     def __len__(self) -> int:
@@ -137,6 +138,22 @@ class Atoms:
 
     def set_scaled_positions(self, frac: Sequence) -> None:
         self.positions = np.asarray(frac, dtype=np.float64) @ self.cell
+
+    # -- calculator protocol (ase-compatible subset) ------------------------
+    def get_potential_energy(self) -> float:
+        if self.calc is None:
+            raise RuntimeError("No calculator attached.")
+        return self.calc.get_potential_energy(self)
+
+    def get_forces(self) -> np.ndarray:
+        if self.calc is None:
+            raise RuntimeError("No calculator attached.")
+        return self.calc.get_forces(self)
+
+    def get_stress(self) -> np.ndarray:
+        if self.calc is None:
+            raise RuntimeError("No calculator attached.")
+        return self.calc.get_stress(self)
 
     # -- mutation -----------------------------------------------------------
     def translate(self, displacement: Sequence) -> None:
