@@ -1,0 +1,166 @@
+"""
+Device-engine tests (JAX CPU x64): neighbor lists, scatter-free
+energy/force/virial vs the host calculator oracle, and MD integrators.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uf3_tpu.data.atoms import Atoms, bulk
+from uf3_tpu.forcefield.calculator import UFCalculator
+from uf3_tpu.forcefield.md import MDSystem
+from uf3_tpu.ops import neighbors as nb
+from uf3_tpu.ops import potential as pot
+from uf3_tpu.regression import least_squares as ls
+
+
+@pytest.fixture(scope="module")
+def unary_model(data_dir):
+    return ls.WeightedLinearModel.from_json(
+        os.path.join(data_dir, "model_unary.json"))
+
+
+@pytest.fixture(scope="module")
+def rattled_bcc():
+    geom = bulk("W", "bcc", a=3.16) * 4
+    geom.rattle(0.05, seed=3)
+    return geom
+
+
+class TestNeighborList:
+    def test_counts_match_bruteforce(self, rattled_bcc):
+        geom = rattled_bcc
+        pos = jnp.asarray(geom.positions)
+        cell = jnp.asarray(geom.cell)
+        r_cut = 4.0
+        nbr = nb.build_neighbor_list(pos, cell, geom.pbc, r_cut, 48)
+        assert not bool(nbr.overflow)
+        # brute-force MIC count
+        frac = geom.positions @ np.linalg.inv(geom.cell)
+        diff = frac[None] - frac[:, None]
+        diff -= np.round(diff)
+        disp = diff @ geom.cell
+        d = np.linalg.norm(disp, axis=-1)
+        expected = np.sum((d < r_cut) & (d > 1e-6), axis=1)
+        assert np.array_equal(np.asarray(jnp.sum(nbr.mask, axis=1)),
+                              expected)
+
+    def test_reverse_slots(self, rattled_bcc):
+        geom = rattled_bcc
+        pos = jnp.asarray(geom.positions)
+        cell = jnp.asarray(geom.cell)
+        nbr = nb.build_neighbor_list(pos, cell, geom.pbc, 4.0, 48)
+        idx = np.asarray(nbr.idx)
+        shift = np.asarray(nbr.shift)
+        rev = np.asarray(nbr.rev)
+        mask = np.asarray(nbr.mask)
+        for a in range(0, len(geom), 17):
+            for s in range(idx.shape[1]):
+                if not mask[a, s]:
+                    continue
+                c = idx[a, s]
+                p = rev[a, s]
+                assert idx[c, p] == a
+                assert np.allclose(shift[c, p], -shift[a, s])
+
+    def test_needs_rebuild(self, rattled_bcc):
+        geom = rattled_bcc
+        pos = jnp.asarray(geom.positions)
+        cell = jnp.asarray(geom.cell)
+        nbr = nb.build_neighbor_list(pos, cell, geom.pbc, 4.0, 48)
+        assert not bool(nb.needs_rebuild(nbr, pos, skin=0.5))
+        moved = pos.at[0, 0].add(0.3)
+        assert bool(nb.needs_rebuild(nbr, moved, skin=0.5))
+
+
+class TestDevicePotential:
+    def test_matches_host_calculator(self, unary_model, rattled_bcc):
+        geom = rattled_bcc
+        calc = UFCalculator(unary_model)
+        e_ref = calc.get_potential_energy(geom)
+        f_ref = calc.get_forces(geom)
+        params = pot.params_from_model(unary_model, dtype=jnp.float64)
+        species = params.z_to_species[jnp.asarray(geom.numbers)]
+        pos = jnp.asarray(geom.positions)
+        cell = jnp.asarray(geom.cell)
+        nbr2 = nb.build_neighbor_list(pos, cell, geom.pbc,
+                                      float(params.r_cut_2b), 64)
+        nbr3 = nb.build_neighbor_list(pos, cell, geom.pbc,
+                                      float(params.r_cut_3b), 32)
+        energy, forces, virial = pot.compute_energy_forces(
+            params, species, pos, cell, nbr2, nbr3)
+        assert np.isclose(float(energy), e_ref, atol=1e-9)
+        assert np.allclose(np.asarray(forces), f_ref, atol=1e-10)
+        # analytic virial stress vs numerical stress
+        stress = np.asarray(pot.stress_voigt(virial, geom.get_volume()))
+        stress_num = calc.get_stress(geom)
+        assert np.allclose(stress, stress_num, atol=1e-6)
+
+    def test_matches_host_binary(self, data_dir):
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join(data_dir, "model_binary.json"))
+        # binary Ne/Xe fcc-ish box, box > 2 * r_cut
+        rng = np.random.RandomState(0)
+        base = bulk("Ne", "fcc", a=5.2) * 4
+        numbers = base.get_atomic_numbers()
+        numbers[rng.rand(len(numbers)) > 0.5] = 54  # Xe
+        geom = Atoms(numbers=numbers, positions=base.positions,
+                     cell=base.cell, pbc=True)
+        geom.rattle(0.08, seed=1)
+        calc = UFCalculator(model)
+        e_ref = calc.get_potential_energy(geom)
+        f_ref = calc.get_forces(geom)
+        params = pot.params_from_model(model, dtype=jnp.float64)
+        species = params.z_to_species[jnp.asarray(geom.numbers)]
+        pos = jnp.asarray(geom.positions)
+        cell = jnp.asarray(geom.cell)
+        nbr2 = nb.build_neighbor_list(pos, cell, geom.pbc,
+                                      float(params.r_cut_2b), 80)
+        energy, forces, _ = pot.compute_energy_forces(
+            params, species, pos, cell, nbr2, None)
+        assert np.isclose(float(energy), e_ref, atol=1e-9)
+        assert np.allclose(np.asarray(forces), f_ref, atol=1e-10)
+
+
+class TestMD:
+    def test_nve_energy_conservation(self, data_dir):
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 4
+        system = MDSystem(model, geom, dtype=jnp.float64,
+                          rebuild_every=10)
+        state = system.init_state(temperature=600.0, seed=1)
+        e0 = float(state.energy) + system.kinetic_energy(state)
+        state = system.run(state, n_steps=100, dt_fs=1.0)
+        e1 = float(state.energy) + system.kinetic_energy(state)
+        assert not bool(state.stale)
+        assert abs(e1 - e0) / len(geom) < 1e-4  # eV/atom drift
+
+    def test_langevin_thermostat(self):
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        system = MDSystem(model, geom, dtype=jnp.float64,
+                          rebuild_every=10)
+        state = system.init_state(temperature=900.0, seed=2)
+        state = system.run(state, n_steps=300, dt_fs=2.0,
+                           thermostat="langevin", temperature=300.0,
+                           friction_ps=10.0)
+        assert 150.0 < system.temperature(state) < 500.0
+
+    def test_md_forces_match_calculator(self):
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 4
+        geom.rattle(0.04, seed=7)
+        system = MDSystem(model, geom, dtype=jnp.float64)
+        state = system.init_state()
+        calc = UFCalculator(model)
+        f_ref = calc.get_forces(geom)
+        assert np.allclose(np.asarray(state.forces), f_ref, atol=1e-9)
+        assert np.isclose(float(state.energy),
+                          calc.get_potential_energy(geom), atol=1e-9)

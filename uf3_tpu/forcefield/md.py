@@ -1,0 +1,206 @@
+"""
+Jit-compiled molecular dynamics on TPU.
+
+One fused step: neighbor reuse (Verlet skin) -> spline energy/forces via
+the scatter-free kernels (uf3_tpu/ops/potential.py) -> symplectic
+integration, entirely on device with donated state.  Replaces the
+reference's per-call supercell + dense-matrix ASE calculator loop
+(uf3/forcefield/calculator.py:124-343, which rebuilds everything each
+step).  Integrators: NVE velocity Verlet, Langevin NVT (BAOAB), and
+Nose-Hoover NVT.
+"""
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uf3_tpu.data import elements
+from uf3_tpu.data.atoms import Atoms
+from uf3_tpu.forcefield import units
+from uf3_tpu.ops import neighbors as nb
+from uf3_tpu.ops import potential as pot
+
+
+class MDState(NamedTuple):
+    positions: jnp.ndarray   # (N, 3)
+    velocities: jnp.ndarray  # (N, 3) internal units
+    forces: jnp.ndarray      # (N, 3) eV / A
+    energy: jnp.ndarray      # () potential energy, eV
+    nbr2: nb.NeighborList
+    nbr3: Optional[nb.NeighborList]
+    key: jnp.ndarray         # PRNG key (Langevin)
+    xi: jnp.ndarray          # () Nose-Hoover thermostat momentum
+    stale: jnp.ndarray       # () bool: skin distance was exceeded
+
+
+class MDSystem:
+    """Binds a fitted potential to a configuration for device MD."""
+
+    def __init__(self,
+                 model,
+                 atoms: Atoms,
+                 dtype=jnp.float32,
+                 capacity_2b: int = None,
+                 capacity_3b: int = None,
+                 skin: float = 0.5,
+                 rebuild_every: int = 20):
+        self.params = pot.params_from_model(model, dtype=dtype)
+        self.dtype = dtype
+        self.skin = float(skin)
+        self.rebuild_every = int(rebuild_every)
+        self.degree = model.bspline_config.degree
+        self.r_cut_2b = float(self.params.r_cut_2b)
+        self.r_cut_3b = float(self.params.r_cut_3b)
+        numbers = atoms.get_atomic_numbers()
+        self.species = jnp.asarray(
+            np.asarray(self.params.z_to_species)[numbers])
+        self.masses = jnp.asarray(elements.atomic_masses[numbers],
+                                  dtype=dtype)
+        self.cell = jnp.asarray(atoms.get_cell(), dtype=dtype)
+        self.pbc = tuple(bool(p) for p in atoms.get_pbc())
+        self.volume = atoms.get_volume() if np.any(atoms.get_pbc()) else None
+        n_atoms = len(atoms)
+        volume = self.volume or 1e6
+        self.capacity_2b = capacity_2b or nb.estimate_capacity(
+            n_atoms, volume, self.r_cut_2b + self.skin)
+        if self.degree > 2:
+            self.capacity_3b = capacity_3b or nb.estimate_capacity(
+                n_atoms, volume, self.r_cut_3b + self.skin)
+        else:
+            self.capacity_3b = 0
+        self._positions0 = jnp.asarray(atoms.get_positions(), dtype=dtype)
+
+    # -- neighbor construction ---------------------------------------------
+    def build_lists(self, positions):
+        nbr2 = nb.build_neighbor_list(positions, self.cell, self.pbc,
+                                      self.r_cut_2b + self.skin,
+                                      self.capacity_2b)
+        nbr3 = None
+        if self.degree > 2:
+            nbr3 = nb.build_neighbor_list(positions, self.cell, self.pbc,
+                                          self.r_cut_3b + self.skin,
+                                          self.capacity_3b)
+        return nbr2, nbr3
+
+    def energy_forces(self, positions, nbr2, nbr3):
+        return pot.compute_energy_forces(self.params, self.species,
+                                         positions, self.cell, nbr2, nbr3)
+
+    # -- state setup --------------------------------------------------------
+    def init_state(self,
+                   velocities: np.ndarray = None,
+                   temperature: float = None,
+                   seed: int = 0) -> MDState:
+        positions = self._positions0
+        n_atoms = positions.shape[0]
+        key = jax.random.PRNGKey(seed)
+        if velocities is None:
+            if temperature is None:
+                velocities = jnp.zeros_like(positions)
+            else:
+                key, sub = jax.random.split(key)
+                sigma = jnp.sqrt(units.kB * temperature
+                                 / self.masses)[:, None]
+                velocities = sigma * jax.random.normal(
+                    sub, positions.shape, dtype=self.dtype)
+                velocities = velocities - jnp.mean(velocities, axis=0)
+        else:
+            velocities = jnp.asarray(velocities, dtype=self.dtype)
+        nbr2, nbr3 = self.build_lists(positions)
+        energy, forces, _ = self.energy_forces(positions, nbr2, nbr3)
+        return MDState(positions=positions, velocities=velocities,
+                       forces=forces, energy=energy, nbr2=nbr2, nbr3=nbr3,
+                       key=key, xi=jnp.zeros((), dtype=self.dtype),
+                       stale=jnp.zeros((), dtype=bool))
+
+    # -- integrators --------------------------------------------------------
+    def _verlet_step(self, state: MDState, dt, thermostat=None,
+                     temperature=None, tau=None, friction=None):
+        m = self.masses[:, None]
+        v = state.velocities + 0.5 * dt * state.forces / m
+        x = state.positions + dt * v
+        energy, forces, _ = self.energy_forces(x, state.nbr2, state.nbr3)
+        v = v + 0.5 * dt * forces / m
+        key = state.key
+        xi = state.xi
+        n_atoms = x.shape[0]
+        dof = 3 * n_atoms - 3
+        if thermostat == "langevin":
+            key, sub = jax.random.split(key)
+            c1 = jnp.exp(-friction * dt)
+            c2 = jnp.sqrt((1 - c1 ** 2) * units.kB * temperature / m)
+            v = c1 * v + c2 * jax.random.normal(sub, v.shape,
+                                                dtype=v.dtype)
+        elif thermostat == "nose_hoover":
+            ke = 0.5 * jnp.sum(m * v * v)
+            q = dof * units.kB * temperature * tau ** 2
+            xi = xi + dt * (2.0 * ke - dof * units.kB * temperature) / q
+            v = v * jnp.exp(-xi * dt)
+        stale = state.stale | nb.needs_rebuild(state.nbr2, x, self.skin)
+        return MDState(positions=x, velocities=v, forces=forces,
+                       energy=energy, nbr2=state.nbr2, nbr3=state.nbr3,
+                       key=key, xi=xi, stale=stale)
+
+    # note: state buffers alias (neighbor reference positions share the
+    # positions buffer at init), so whole-state donation is not valid;
+    # the state is rebuilt functionally each call.
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("n_steps", "dt_fs", "thermostat"))
+    def run(self, state: MDState, n_steps: int, dt_fs: float,
+            thermostat: Optional[str] = None,
+            temperature: float = 300.0,
+            tau_fs: float = 100.0,
+            friction_ps: float = 2.0) -> MDState:
+        """
+        Run n_steps of MD in one jit-compiled call, rebuilding neighbor
+        lists every rebuild_every steps.
+        """
+        dt = jnp.asarray(dt_fs * units.fs, dtype=self.dtype)
+        tau = tau_fs * units.fs
+        friction = friction_ps / units.ps
+        n_chunks = max(1, n_steps // self.rebuild_every)
+        inner = self.rebuild_every if n_steps >= self.rebuild_every \
+            else n_steps
+
+        def chunk(state, _):
+            nbr2, nbr3 = self.build_lists(state.positions)
+            state = state._replace(nbr2=nbr2, nbr3=nbr3,
+                                   stale=jnp.zeros((), dtype=bool))
+
+            def step(s, _):
+                return self._verlet_step(
+                    s, dt, thermostat=thermostat,
+                    temperature=temperature, tau=tau,
+                    friction=friction), None
+
+            state, _ = jax.lax.scan(step, state, None, length=inner)
+            return state, state.stale
+
+        state, stale_flags = jax.lax.scan(chunk, state, None,
+                                          length=n_chunks)
+        return state._replace(stale=jnp.any(stale_flags))
+
+    # -- observables --------------------------------------------------------
+    def temperature(self, state: MDState) -> float:
+        m = self.masses[:, None]
+        ke = 0.5 * jnp.sum(m * state.velocities ** 2)
+        dof = 3 * state.positions.shape[0] - 3
+        return float(2.0 * ke / (dof * units.kB))
+
+    def kinetic_energy(self, state: MDState) -> float:
+        m = self.masses[:, None]
+        return float(0.5 * jnp.sum(m * state.velocities ** 2))
+
+    def stress(self, state: MDState):
+        _, _, virial = self.energy_forces(state.positions, state.nbr2,
+                                          state.nbr3)
+        return pot.stress_voigt(virial, self.volume)
+
+    def to_atoms(self, atoms_template: Atoms, state: MDState) -> Atoms:
+        out = atoms_template.copy()
+        out.set_positions(np.asarray(state.positions))
+        out.set_array("velocities", np.asarray(state.velocities))
+        return out
