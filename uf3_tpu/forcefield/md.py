@@ -47,7 +47,7 @@ class MDSystem:
                  capacity_3b: int = None,
                  skin: float = 0.5,
                  rebuild_every: int = 20):
-        self.params = pot.params_from_model(model, dtype=dtype)
+        self.params, self.static = pot.build_potential(model, dtype=dtype)
         self.dtype = dtype
         self.skin = float(skin)
         self.rebuild_every = int(rebuild_every)
@@ -87,7 +87,8 @@ class MDSystem:
 
     def energy_forces(self, positions, nbr2, nbr3):
         return pot.compute_energy_forces(self.params, self.species,
-                                         positions, self.cell, nbr2, nbr3)
+                                         positions, self.cell, nbr2, nbr3,
+                                         static=self.static)
 
     # -- state setup --------------------------------------------------------
     def init_state(self,

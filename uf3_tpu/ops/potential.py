@@ -54,9 +54,21 @@ class PotentialParams(NamedTuple):
     trio_n_cells: jnp.ndarray        # (T, 3) int32
     trio_leg_min: jnp.ndarray        # (T, 3) inclusive leg lower bounds
     trio_leg_max: jnp.ndarray        # (T, 3) inclusive leg upper bounds
+    # factorized-path tables (dense grids + knot sequences per type)
+    trio_grid: jnp.ndarray           # (T, L, M, NC) coefficient grids
+    trio_knot_seq: jnp.ndarray       # (T, 3, KS) knot sequences (pad inf)
     # cutoffs for neighbor-list construction (static copies in metadata)
     r_cut_2b: jnp.ndarray            # () max pair cutoff
     r_cut_3b: jnp.ndarray            # () max center-leg cutoff (0 if no 3B)
+
+
+class PotentialStatic(NamedTuple):
+    """Hashable compile-time metadata for the fast kernels."""
+    n_pair_types: int
+    # one entry per stored ordered trio type:
+    # (type index, center species, leg-1 species, leg-2 species,
+    #  L, M, NC basis counts)
+    trio_specs: Tuple[Tuple[int, int, int, int, int, int, int], ...]
 
 
 def _pad_to(array, shape):
@@ -113,6 +125,7 @@ def params_from_model(model, dtype=jnp.float32) -> PotentialParams:
     # -- trio tables --------------------------------------------------------
     trio_type = -np.ones((n_species, n_species, n_species), dtype=np.int32)
     trio_tables = []
+    trio_specs = []
     r_cut_3b = 0.0
     if config.degree > 2:
         trios = config.interactions_map[3]
@@ -134,7 +147,9 @@ def params_from_model(model, dtype=jnp.float32) -> PotentialParams:
                 edges = [s[3:len(s) - 3] for s in sq]
                 leg_min = [s[0] for s in sq]
                 leg_max = [s[-1] for s in sq]
-                trio_tables.append((poly, breaks, edges, leg_min, leg_max))
+                trio_tables.append((poly, breaks, edges, leg_min, leg_max,
+                                    g, sq))
+                trio_specs.append((t_idx,) + key + g.shape)
                 t_idx += 1
             r_cut_3b = max(r_cut_3b, float(max(seqs[0][-1], seqs[1][-1])))
     if trio_tables:
@@ -154,6 +169,15 @@ def params_from_model(model, dtype=jnp.float32) -> PotentialParams:
                                  for t in trio_tables], dtype=np.int32)
         trio_leg_min = np.array([t[3] for t in trio_tables])
         trio_leg_max = np.array([t[4] for t in trio_tables])
+        max_basis = [max(t[5].shape[d] for t in trio_tables)
+                     for d in range(3)]
+        trio_grid = np.stack([_pad_to(t[5], tuple(max_basis))
+                              for t in trio_tables])
+        max_ks = max(len(s) for t in trio_tables for s in t[6])
+        trio_knot_seq = np.stack([
+            np.stack([np.pad(s, (0, max_ks - len(s)),
+                             constant_values=s[-1] + 1e6) for s in t[6]])
+            for t in trio_tables])
     else:
         trio_poly = np.zeros((1, 1, 1, 1, 64))
         trio_breaks = np.zeros((1, 3, 1, 2))
@@ -161,6 +185,8 @@ def params_from_model(model, dtype=jnp.float32) -> PotentialParams:
         trio_n_cells = np.ones((1, 3), dtype=np.int32)
         trio_leg_min = np.zeros((1, 3))
         trio_leg_max = np.zeros((1, 3))
+        trio_grid = np.zeros((1, 1, 1, 1))
+        trio_knot_seq = np.full((1, 3, 8), np.inf)
 
     def dev(x):
         return jnp.asarray(x, dtype=dtype)
@@ -182,9 +208,38 @@ def params_from_model(model, dtype=jnp.float32) -> PotentialParams:
         trio_n_cells=jnp.asarray(trio_n_cells),
         trio_leg_min=dev(trio_leg_min),
         trio_leg_max=dev(trio_leg_max),
+        trio_grid=dev(trio_grid),
+        trio_knot_seq=dev(trio_knot_seq),
         r_cut_2b=dev(r_cut_2b),
         r_cut_3b=dev(r_cut_3b),
     )
+
+
+def build_potential(model, dtype=jnp.float32
+                    ) -> Tuple[PotentialParams, PotentialStatic]:
+    """Device tables plus hashable metadata for the fast kernels."""
+    params = params_from_model(model, dtype=dtype)
+    config = model.bspline_config
+    element_list = list(config.chemical_system.element_list)
+    specs = []
+    if config.degree > 2:
+        t_idx = 0
+        for trio in config.interactions_map[3]:
+            s_c = element_list.index(trio[0])
+            s_m = element_list.index(trio[1])
+            s_n = element_list.index(trio[2])
+            seqs = config.knots_map[trio]
+            shape = tuple(len(s) - 4 for s in seqs)
+            specs.append((t_idx, s_c, s_m, s_n) + shape)
+            t_idx += 1
+            if s_m != s_n:
+                specs.append((t_idx, s_c, s_n, s_m,
+                              shape[1], shape[0], shape[2]))
+                t_idx += 1
+    static = PotentialStatic(
+        n_pair_types=len(config.interactions_map[2]),
+        trio_specs=tuple(specs))
+    return params, static
 
 
 # ---------------------------------------------------------------------------
@@ -221,6 +276,151 @@ def pair_contributions(params: PotentialParams, species, positions, cell,
     forces = 2.0 * jnp.sum(dvdr[..., None] * unit, axis=1)
     w = dvdr / r
     virial = jnp.einsum("nk,nka,nkb->ab", w, d, d)
+    return atom_energy, forces, virial
+
+
+def pair_contributions_fast(params: PotentialParams,
+                            static: PotentialStatic,
+                            species, positions, cell,
+                            nbr: NeighborList):
+    """
+    2-body kernel with one-hot interval selection: the per-pair
+    polynomial row is obtained as onehot(interval) @ table -- a dense
+    matmul instead of an elementwise gather (TPU gathers serialize).
+    Loops over pair types (few) at trace time.
+    """
+    d = displacements(positions, cell, nbr.idx, nbr.shift)
+    r2 = jnp.sum(d * d, axis=-1)
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    s_j = species[nbr.idx]
+    n_int = params.pair_poly_e.shape[1]
+    energy = jnp.zeros_like(r)
+    dvdr = jnp.zeros_like(r)
+    for p in range(static.n_pair_types):
+        if static.n_pair_types == 1:
+            type_mask = nbr.mask
+        else:
+            ptype = params.pair_type[species[:, None], s_j]
+            type_mask = nbr.mask & (ptype == p)
+        mask = (type_mask
+                & (r > params.pair_r_min[p]) & (r < params.pair_r_max[p]))
+        edges = params.pair_knots[p]  # (I+1,)
+        onehot = ((edges[:-1] <= r[..., None])
+                  & (r[..., None] < edges[1:]))  # (N, K, I)
+        onehot = onehot.astype(r.dtype)
+        poly_e = jnp.einsum("nki,id->nkd", onehot,
+                            params.pair_poly_e[p])
+        poly_f = jnp.einsum("nki,id->nkd", onehot,
+                            params.pair_poly_f[p])
+        t_lo = jnp.einsum("nki,i->nk", onehot, params.pair_breaks[p, :, 0])
+        inv_h = jnp.einsum("nki,i->nk", onehot,
+                           params.pair_breaks[p, :, 1])
+        u = (r - t_lo) * inv_h
+        energy = energy + jnp.where(mask, sj.horner_cubic(poly_e, u), 0.0)
+        dvdr = dvdr + jnp.where(mask, sj.horner_cubic(poly_f, u), 0.0)
+    atom_energy = jnp.sum(energy, axis=1)
+    unit = d / r[..., None]
+    forces = 2.0 * jnp.sum(dvdr[..., None] * unit, axis=1)
+    w = dvdr / r
+    virial = jnp.einsum("nk,nka,nkb->ab", w, d, d)
+    return atom_energy, forces, virial
+
+
+def _dense_leg_basis(r, knot_seq, n_splines, valid, nu=0):
+    """4-tap de Boor values scattered into a dense (..., n_splines)
+    basis matrix via one-hot comparisons (no scatter)."""
+    values, idx = sj.deboor_values_jax(r, knot_seq, nu=nu)
+    in_range = valid & (r >= knot_seq[0]) & (r <= knot_seq[-1])
+    values = jnp.where(in_range[..., None], values, 0.0)
+    iota = jnp.arange(n_splines)
+    taps = idx[..., None, None] + jnp.arange(4)[:, None]  # (..., 4, 1)
+    onehot = (taps == iota).astype(values.dtype)  # (..., 4, n_splines)
+    return jnp.einsum("...t,...ts->...s", values, onehot)
+
+
+def trio_contributions_factorized(params: PotentialParams,
+                                  static: PotentialStatic,
+                                  species, positions, cell,
+                                  nbr3: NeighborList):
+    """
+    3-body kernel as dense tensor contractions (MXU-shaped):
+
+      T[m, n]  = sum_abc A[m, a] B[n, b] C[m, n, c] G[a, b, c]
+
+    with A/B/C dense per-leg basis matrices built from the branchless
+    4-tap de Boor kernel, evaluated per ordered trio type.  Leg-range
+    masks live in zeroed basis rows; trimmed/symmetry-dead coefficients
+    are zeros of G.  Avoids the per-triangle 64-coefficient gather of
+    the table path entirely.  Neighbor forces are recovered through the
+    inverse-slot gather exactly as in trio_contributions.
+    """
+    n_atoms, k3 = nbr3.idx.shape
+    d = displacements(positions, cell, nbr3.idx, nbr3.shift)  # (N, K, 3)
+    r2 = jnp.sum(d * d, axis=-1)
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    s_nb = species[nbr3.idx]
+    d_mn = d[:, None, :, :] - d[:, :, None, :]
+    r_mn2 = jnp.sum(d_mn * d_mn, axis=-1)
+    r_mn = jnp.sqrt(jnp.where(r_mn2 > 0, r_mn2, 1.0))
+    not_diag = ~jnp.eye(k3, dtype=bool)[None]
+    pair_ok = (nbr3.mask[:, :, None] & nbr3.mask[:, None, :] & not_diag
+               & (r_mn2 > 1e-10))
+
+    value_acc = jnp.zeros((n_atoms, k3, k3), dtype=r.dtype)
+    g1 = jnp.zeros_like(value_acc)
+    g2 = jnp.zeros_like(value_acc)
+    g3 = jnp.zeros_like(value_acc)
+    n_species = params.offsets_1b.shape[0]
+    for (t, s_c, s_m, s_n, L, M, NC) in static.trio_specs:
+        grid = params.trio_grid[t, :L, :M, :NC]
+        seq_l = params.trio_knot_seq[t, 0, :L + 4]
+        seq_m = params.trio_knot_seq[t, 1, :M + 4]
+        seq_n = params.trio_knot_seq[t, 2, :NC + 4]
+        center_ok = (species == s_c) if n_species > 1 \
+            else jnp.ones((n_atoms,), dtype=bool)
+        m_ok = nbr3.mask & ((s_nb == s_m) if n_species > 1
+                            else jnp.ones_like(nbr3.mask))
+        n_ok = nbr3.mask & ((s_nb == s_n) if n_species > 1
+                            else jnp.ones_like(nbr3.mask))
+        a_mat = _dense_leg_basis(r, seq_l, L, m_ok)          # (N, K, L)
+        da_mat = _dense_leg_basis(r, seq_l, L, m_ok, nu=1)
+        b_mat = _dense_leg_basis(r, seq_m, M, n_ok)          # (N, K, M)
+        db_mat = _dense_leg_basis(r, seq_m, M, n_ok, nu=1)
+        c_mat = _dense_leg_basis(r_mn, seq_n, NC, pair_ok)   # (N,K,K,NC)
+        dc_mat = _dense_leg_basis(r_mn, seq_n, NC, pair_ok, nu=1)
+        h = jnp.einsum("nia,abc->nibc", a_mat, grid)     # (N, K, M, NC)
+        h1 = jnp.einsum("nia,abc->nibc", da_mat, grid)
+        dd = jnp.einsum("nijc,nibc->nijb", c_mat, h)     # (N, K, K, M)
+        d1 = jnp.einsum("nijc,nibc->nijb", c_mat, h1)
+        d3 = jnp.einsum("nijc,nibc->nijb", dc_mat, h)
+        value = jnp.einsum("njb,nijb->nij", b_mat, dd)
+        t1 = jnp.einsum("njb,nijb->nij", b_mat, d1)
+        t2 = jnp.einsum("njb,nijb->nij", db_mat, dd)
+        t3 = jnp.einsum("njb,nijb->nij", b_mat, d3)
+        c_w = center_ok[:, None, None].astype(r.dtype)
+        value_acc = value_acc + value * c_w
+        g1 = g1 + t1 * c_w
+        g2 = g2 + t2 * c_w
+        g3 = g3 + t3 * c_w
+
+    atom_energy = 0.5 * jnp.sum(value_acc, axis=(1, 2))
+    unit = d / r[..., None]
+    forces = jnp.sum(jnp.sum(g1, axis=2)[..., None] * unit, axis=1)
+    c_idx = nbr3.idx
+    p = nbr3.rev
+    g1_rows = g1[c_idx, p]
+    g3_rows = g3[c_idx, p]
+    r_an = r_mn[c_idx, p]
+    d_cn = d[c_idx]
+    d_an = d[:, :, None, :] + d_cn
+    term1 = jnp.sum(g1_rows, axis=2)[..., None] * unit
+    term2 = jnp.sum((g3_rows / r_an)[..., None] * d_an, axis=2)
+    forces = forces + jnp.sum(jnp.where(nbr3.mask[..., None],
+                                        term1 + term2, 0.0), axis=1)
+    virial = 0.5 * (
+        jnp.einsum("nm,nma,nmb->ab", jnp.sum(g1, axis=2) / r, d, d)
+        + jnp.einsum("nm,nma,nmb->ab", jnp.sum(g2, axis=1) / r, d, d)
+        + jnp.einsum("nmk,nmka,nmkb->ab", g3 / r_mn, d_mn, d_mn))
     return atom_energy, forces, virial
 
 
@@ -309,16 +509,27 @@ def trio_contributions(params: PotentialParams, species, positions, cell,
 
 def compute_energy_forces(params: PotentialParams, species, positions,
                           cell, nbr2: NeighborList,
-                          nbr3: NeighborList = None):
-    """Total energy, per-atom forces, and virial tensor."""
+                          nbr3: NeighborList = None,
+                          static: PotentialStatic = None):
+    """Total energy, per-atom forces, and virial tensor.  With
+    ``static`` metadata the gather-free fast kernels are used."""
     e1 = jnp.sum(params.offsets_1b[species])
-    e2, f2, w2 = pair_contributions(params, species, positions, cell, nbr2)
+    if static is not None:
+        e2, f2, w2 = pair_contributions_fast(params, static, species,
+                                             positions, cell, nbr2)
+    else:
+        e2, f2, w2 = pair_contributions(params, species, positions, cell,
+                                        nbr2)
     energy = e1 + jnp.sum(e2)
     forces = f2
     virial = w2
     if nbr3 is not None:
-        e3, f3, w3 = trio_contributions(params, species, positions, cell,
-                                        nbr3)
+        if static is not None:
+            e3, f3, w3 = trio_contributions_factorized(
+                params, static, species, positions, cell, nbr3)
+        else:
+            e3, f3, w3 = trio_contributions(params, species, positions,
+                                            cell, nbr3)
         energy = energy + jnp.sum(e3)
         forces = forces + f3
         virial = virial + w3
