@@ -1,0 +1,73 @@
+"""
+Benchmark harness: 2+3-body tungsten MD throughput on the available
+accelerator (BASELINE.json headline metric).
+
+Loads the fitted 2+3-body tungsten model (benchmarks_data/
+model_2and3.json, the reference demo potential), builds a ~10k-atom
+bcc slab, runs jit-compiled NVT MD, and prints one JSON line with
+atom-steps/s.  vs_baseline compares against the reference CPU cost of
+~1.15 us/atom/step (manuscript supplement Fig. 1; BASELINE.md), i.e.
+8.7e5 atom-steps/s -- for the cheaper 2-body-only potential.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from uf3_tpu.data.atoms import bulk  # noqa: E402
+from uf3_tpu.forcefield.md import MDSystem  # noqa: E402
+from uf3_tpu.regression import least_squares as ls  # noqa: E402
+
+BASELINE_ATOM_STEPS = 8.7e5  # reference CPU, 2-body (BASELINE.md)
+
+
+def main():
+    model = ls.WeightedLinearModel.from_json(
+        os.path.join(REPO, "benchmarks_data", "model_2and3.json"))
+    geom = bulk("W", "bcc", a=3.1652) * (17, 17, 17)  # 9826 atoms
+    n_atoms = len(geom)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    system = MDSystem(model, geom, dtype=dtype, rebuild_every=18,
+                      skin=0.9, capacity_2b=76, capacity_3b=16)
+    state = system.init_state(temperature=300.0, seed=0)
+    # warm up / compile
+    state = system.run(state, n_steps=18, dt_fs=2.0,
+                       thermostat="langevin", temperature=300.0)
+    jax.block_until_ready(state.positions)
+    # timed section
+    n_chunks = 10
+    steps_per_chunk = 18
+    t0 = time.time()
+    for _ in range(n_chunks):
+        state = system.run(state, n_steps=steps_per_chunk, dt_fs=2.0,
+                           thermostat="langevin", temperature=300.0)
+    jax.block_until_ready(state.positions)
+    elapsed = time.time() - t0
+    total_steps = n_chunks * steps_per_chunk
+    atom_steps = n_atoms * total_steps / elapsed
+    result = {
+        "metric": "atom-steps/s (2+3-body W MD, "
+                  f"{n_atoms} atoms, {jax.devices()[0].platform})",
+        "value": round(atom_steps, 1),
+        "unit": "atom-steps/s",
+        "vs_baseline": round(atom_steps / BASELINE_ATOM_STEPS, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,23 +166,19 @@ class MDSystem:
         inner = self.rebuild_every if n_steps >= self.rebuild_every \
             else n_steps
 
-        def chunk(state, _):
+        def step(s, _):
+            return self._verlet_step(
+                s, dt, thermostat=thermostat, temperature=temperature,
+                tau=tau, friction=friction), None
+
+        any_stale = jnp.zeros((), dtype=bool)
+        for _ in range(n_chunks):
             nbr2, nbr3 = self.build_lists(state.positions)
             state = state._replace(nbr2=nbr2, nbr3=nbr3,
                                    stale=jnp.zeros((), dtype=bool))
-
-            def step(s, _):
-                return self._verlet_step(
-                    s, dt, thermostat=thermostat,
-                    temperature=temperature, tau=tau,
-                    friction=friction), None
-
             state, _ = jax.lax.scan(step, state, None, length=inner)
-            return state, state.stale
-
-        state, stale_flags = jax.lax.scan(chunk, state, None,
-                                          length=n_chunks)
-        return state._replace(stale=jnp.any(stale_flags))
+            any_stale = any_stale | state.stale
+        return state._replace(stale=any_stale)
 
     # -- observables --------------------------------------------------------
     def temperature(self, state: MDState) -> float:

@@ -328,14 +328,16 @@ def pair_contributions_fast(params: PotentialParams,
 
 def _dense_leg_basis(r, knot_seq, n_splines, valid, nu=0):
     """4-tap de Boor values scattered into a dense (..., n_splines)
-    basis matrix via one-hot comparisons (no scatter)."""
+    basis matrix.  Written as four fused select-adds so no
+    (..., 4, n_splines) intermediate materializes."""
     values, idx = sj.deboor_values_jax(r, knot_seq, nu=nu)
     in_range = valid & (r >= knot_seq[0]) & (r <= knot_seq[-1])
     values = jnp.where(in_range[..., None], values, 0.0)
-    iota = jnp.arange(n_splines)
-    taps = idx[..., None, None] + jnp.arange(4)[:, None]  # (..., 4, 1)
-    onehot = (taps == iota).astype(values.dtype)  # (..., 4, n_splines)
-    return jnp.einsum("...t,...ts->...s", values, onehot)
+    rel = jnp.arange(n_splines) - idx[..., None]  # (..., n_splines)
+    out = jnp.zeros(r.shape + (n_splines,), dtype=values.dtype)
+    for tap in range(4):
+        out = out + jnp.where(rel == tap, values[..., tap, None], 0.0)
+    return out
 
 
 def trio_contributions_factorized(params: PotentialParams,
