@@ -48,6 +48,8 @@ class MDSystem:
                  skin: float = 0.5,
                  rebuild_every: int = 20):
         self.params, self.static = pot.build_potential(model, dtype=dtype)
+        from uf3_tpu.ops import pallas_trio as pt
+        self.trio_bundle = pt.build_trio_pallas(model, dtype=dtype)
         self.dtype = dtype
         self.skin = float(skin)
         self.rebuild_every = int(rebuild_every)
@@ -86,9 +88,30 @@ class MDSystem:
         return nbr2, nbr3
 
     def energy_forces(self, positions, nbr2, nbr3):
+        """Energy + forces via the fused kernels (virial omitted; use
+        energy_forces_virial for stress)."""
+        if self.trio_bundle is not None and nbr3 is not None:
+            from uf3_tpu.ops import pallas_trio as pt
+            e1 = jnp.sum(self.params.offsets_1b[self.species])
+            e2, f2, _ = pot.pair_contributions_fast(
+                self.params, self.static, self.species, positions,
+                self.cell, nbr2)
+            e3, f3 = pt.trio_forces_unrolled(
+                self.trio_bundle.grid, positions, self.cell, nbr3.idx,
+                nbr3.shift, nbr3.mask, nbr3.rev,
+                spec_l=self.trio_bundle.spec_l,
+                spec_n=self.trio_bundle.spec_n,
+                l_basis=self.trio_bundle.l_basis,
+                n_basis=self.trio_bundle.n_basis)
+            return (e1 + jnp.sum(e2) + jnp.sum(e3), f2 + f3, None)
         return pot.compute_energy_forces(self.params, self.species,
-                                         positions, self.cell, nbr2, nbr3,
-                                         static=self.static)
+                                         positions, self.cell, nbr2,
+                                         nbr3, static=self.static)
+
+    def energy_forces_virial(self, positions, nbr2, nbr3):
+        return pot.compute_energy_forces(self.params, self.species,
+                                         positions, self.cell, nbr2,
+                                         nbr3, static=self.static)
 
     # -- state setup --------------------------------------------------------
     def init_state(self,
@@ -192,8 +215,8 @@ class MDSystem:
         return float(0.5 * jnp.sum(m * state.velocities ** 2))
 
     def stress(self, state: MDState):
-        _, _, virial = self.energy_forces(state.positions, state.nbr2,
-                                          state.nbr3)
+        _, _, virial = self.energy_forces_virial(state.positions,
+                                                 state.nbr2, state.nbr3)
         return pot.stress_voigt(virial, self.volume)
 
     def to_atoms(self, atoms_template: Atoms, state: MDState) -> Atoms:
