@@ -173,34 +173,49 @@ class MDSystem:
     # the state is rebuilt functionally each call.
     @functools.partial(jax.jit, static_argnums=(0,),
                        static_argnames=("n_steps", "dt_fs", "thermostat"))
-    def run(self, state: MDState, n_steps: int, dt_fs: float,
-            thermostat: Optional[str] = None,
-            temperature: float = 300.0,
-            tau_fs: float = 100.0,
-            friction_ps: float = 2.0) -> MDState:
-        """
-        Run n_steps of MD in one jit-compiled call, rebuilding neighbor
-        lists every rebuild_every steps.
-        """
+    def _run_chunk(self, state: MDState, n_steps: int, dt_fs: float,
+                   thermostat: Optional[str] = None,
+                   temperature: float = 300.0,
+                   tau_fs: float = 100.0,
+                   friction_ps: float = 2.0) -> MDState:
+        """One jit-compiled chunk: neighbor rebuild + n_steps of MD."""
         dt = jnp.asarray(dt_fs * units.fs, dtype=self.dtype)
         tau = tau_fs * units.fs
         friction = friction_ps / units.ps
-        n_chunks = max(1, n_steps // self.rebuild_every)
-        inner = self.rebuild_every if n_steps >= self.rebuild_every \
-            else n_steps
 
         def step(s, _):
             return self._verlet_step(
                 s, dt, thermostat=thermostat, temperature=temperature,
                 tau=tau, friction=friction), None
 
+        nbr2, nbr3 = self.build_lists(state.positions)
+        state = state._replace(nbr2=nbr2, nbr3=nbr3,
+                               stale=jnp.zeros((), dtype=bool))
+        state, _ = jax.lax.scan(step, state, None, length=n_steps)
+        return state
+
+    def run(self, state: MDState, n_steps: int, dt_fs: float,
+            thermostat: Optional[str] = None,
+            temperature: float = 300.0,
+            tau_fs: float = 100.0,
+            friction_ps: float = 2.0) -> MDState:
+        """
+        Run n_steps of MD, rebuilding neighbor lists every
+        rebuild_every steps; a host loop over one compiled chunk so
+        every chunk reuses the same executable.
+        """
+        inner = min(self.rebuild_every, n_steps)
         any_stale = jnp.zeros((), dtype=bool)
-        for _ in range(n_chunks):
-            nbr2, nbr3 = self.build_lists(state.positions)
-            state = state._replace(nbr2=nbr2, nbr3=nbr3,
-                                   stale=jnp.zeros((), dtype=bool))
-            state, _ = jax.lax.scan(step, state, None, length=inner)
+        remaining = n_steps
+        while remaining > 0:
+            steps = min(inner, remaining)
+            state = self._run_chunk(state, steps, dt_fs,
+                                    thermostat=thermostat,
+                                    temperature=temperature,
+                                    tau_fs=tau_fs,
+                                    friction_ps=friction_ps)
             any_stale = any_stale | state.stale
+            remaining -= steps
         return state._replace(stale=any_stale)
 
     # -- observables --------------------------------------------------------
