@@ -34,6 +34,7 @@ class MDState(NamedTuple):
     key: jnp.ndarray         # PRNG key (Langevin)
     xi: jnp.ndarray          # () Nose-Hoover thermostat momentum
     stale: jnp.ndarray       # () bool: skin distance was exceeded
+    cell: jnp.ndarray        # (3, 3) simulation cell (traced: NPT scales it)
 
 
 class MDSystem:
@@ -76,28 +77,30 @@ class MDSystem:
         self._positions0 = jnp.asarray(atoms.get_positions(), dtype=dtype)
 
     # -- neighbor construction ---------------------------------------------
-    def build_lists(self, positions):
-        nbr2 = nb.build_neighbor_list(positions, self.cell, self.pbc,
+    def build_lists(self, positions, cell=None):
+        cell = self.cell if cell is None else cell
+        nbr2 = nb.build_neighbor_list(positions, cell, self.pbc,
                                       self.r_cut_2b + self.skin,
                                       self.capacity_2b)
         nbr3 = None
         if self.degree > 2:
-            nbr3 = nb.build_neighbor_list(positions, self.cell, self.pbc,
+            nbr3 = nb.build_neighbor_list(positions, cell, self.pbc,
                                           self.r_cut_3b + self.skin,
                                           self.capacity_3b)
         return nbr2, nbr3
 
-    def energy_forces(self, positions, nbr2, nbr3):
+    def energy_forces(self, positions, nbr2, nbr3, cell=None):
         """Energy + forces via the fused kernels (virial omitted; use
         energy_forces_virial for stress)."""
+        cell = self.cell if cell is None else cell
         if self.trio_bundle is not None and nbr3 is not None:
             from uf3_tpu.ops import pallas_trio as pt
             e1 = jnp.sum(self.params.offsets_1b[self.species])
             e2, f2, _ = pot.pair_contributions_fast(
                 self.params, self.static, self.species, positions,
-                self.cell, nbr2)
+                cell, nbr2)
             e3, f3 = pt.trio_forces_unrolled(
-                self.trio_bundle.grid, positions, self.cell, nbr3.idx,
+                self.trio_bundle.grid, positions, cell, nbr3.idx,
                 nbr3.shift, nbr3.mask, nbr3.rev,
                 spec_l=self.trio_bundle.spec_l,
                 spec_n=self.trio_bundle.spec_n,
@@ -105,12 +108,13 @@ class MDSystem:
                 n_basis=self.trio_bundle.n_basis)
             return (e1 + jnp.sum(e2) + jnp.sum(e3), f2 + f3, None)
         return pot.compute_energy_forces(self.params, self.species,
-                                         positions, self.cell, nbr2,
+                                         positions, cell, nbr2,
                                          nbr3, static=self.static)
 
-    def energy_forces_virial(self, positions, nbr2, nbr3):
+    def energy_forces_virial(self, positions, nbr2, nbr3, cell=None):
+        cell = self.cell if cell is None else cell
         return pot.compute_energy_forces(self.params, self.species,
-                                         positions, self.cell, nbr2,
+                                         positions, cell, nbr2,
                                          nbr3, static=self.static)
 
     # -- state setup --------------------------------------------------------
@@ -138,7 +142,8 @@ class MDSystem:
         return MDState(positions=positions, velocities=velocities,
                        forces=forces, energy=energy, nbr2=nbr2, nbr3=nbr3,
                        key=key, xi=jnp.zeros((), dtype=self.dtype),
-                       stale=jnp.zeros((), dtype=bool))
+                       stale=jnp.zeros((), dtype=bool),
+                       cell=self.cell)
 
     # -- integrators --------------------------------------------------------
     def _verlet_step(self, state: MDState, dt, thermostat=None,
@@ -146,7 +151,8 @@ class MDSystem:
         m = self.masses[:, None]
         v = state.velocities + 0.5 * dt * state.forces / m
         x = state.positions + dt * v
-        energy, forces, _ = self.energy_forces(x, state.nbr2, state.nbr3)
+        energy, forces, _ = self.energy_forces(x, state.nbr2, state.nbr3,
+                                               cell=state.cell)
         v = v + 0.5 * dt * forces / m
         key = state.key
         xi = state.xi
@@ -166,7 +172,7 @@ class MDSystem:
         stale = state.stale | nb.needs_rebuild(state.nbr2, x, self.skin)
         return MDState(positions=x, velocities=v, forces=forces,
                        energy=energy, nbr2=state.nbr2, nbr3=state.nbr3,
-                       key=key, xi=xi, stale=stale)
+                       key=key, xi=xi, stale=stale, cell=state.cell)
 
     # note: state buffers alias (neighbor reference positions share the
     # positions buffer at init), so whole-state donation is not valid;
@@ -188,7 +194,7 @@ class MDSystem:
                 s, dt, thermostat=thermostat, temperature=temperature,
                 tau=tau, friction=friction), None
 
-        nbr2, nbr3 = self.build_lists(state.positions)
+        nbr2, nbr3 = self.build_lists(state.positions, state.cell)
         state = state._replace(nbr2=nbr2, nbr3=nbr3,
                                stale=jnp.zeros((), dtype=bool))
         state, _ = jax.lax.scan(step, state, None, length=n_steps)
@@ -209,7 +215,7 @@ class MDSystem:
         remaining = n_steps
         while remaining > 0:
             steps = min(inner, remaining)
-            state = self._run_chunk(state, steps, dt_fs,
+            state = self._run_chunk(state, n_steps=steps, dt_fs=dt_fs,
                                     thermostat=thermostat,
                                     temperature=temperature,
                                     tau_fs=tau_fs,
@@ -217,6 +223,48 @@ class MDSystem:
             any_stale = any_stale | state.stale
             remaining -= steps
         return state._replace(stale=any_stale)
+
+    # -- pressure coupling --------------------------------------------------
+    def npt_run(self, state: MDState, n_steps: int, dt_fs: float,
+                temperature: float = 300.0,
+                pressure: float = 0.0,
+                tau_p_fs: float = 1000.0,
+                compressibility: float = 5e-3,
+                friction_ps: float = 2.0,
+                atoms_template=None):
+        """
+        NPT via Langevin NVT chunks + Berendsen pressure coupling: after
+        every neighbor-rebuild chunk the cell and positions are scaled
+        by (1 - dt/tau_p * beta * (P0 - P))^(1/3) using the analytic
+        virial pressure.  Covers the reference's melting-point protocol
+        (supplement/melting_point/melting_uf.in: 2-phase NPT).
+
+        Returns (state, cell_history).  Note: the system's cell is
+        mutated; neighbor capacities must absorb the density change.
+        """
+        from uf3_tpu.ops import potential as potmod
+        cells = []
+        inner = min(self.rebuild_every, n_steps)
+        done = 0
+        while done < n_steps:
+            steps = min(inner, n_steps - done)
+            state = self._run_chunk(state, steps, dt_fs,
+                                    thermostat="langevin",
+                                    temperature=temperature,
+                                    friction_ps=friction_ps)
+            done += steps
+            stress = self.stress(state)
+            m = self.masses[:, None]
+            ke = 0.5 * jnp.sum(m * state.velocities ** 2)
+            volume = float(jnp.abs(jnp.linalg.det(state.cell)))
+            virial_pressure = (-(stress[0] + stress[1] + stress[2]) / 3.0
+                               + 2.0 * ke / (3.0 * volume))
+            scale = (1.0 - (dt_fs * steps / tau_p_fs) * compressibility
+                     * (pressure - float(virial_pressure))) ** (1.0 / 3.0)
+            state = state._replace(positions=state.positions * scale,
+                                   cell=state.cell * scale)
+            cells.append(np.asarray(state.cell))
+        return state, cells
 
     # -- observables --------------------------------------------------------
     def temperature(self, state: MDState) -> float:
@@ -231,8 +279,10 @@ class MDSystem:
 
     def stress(self, state: MDState):
         _, _, virial = self.energy_forces_virial(state.positions,
-                                                 state.nbr2, state.nbr3)
-        return pot.stress_voigt(virial, self.volume)
+                                                 state.nbr2, state.nbr3,
+                                                 cell=state.cell)
+        volume = jnp.abs(jnp.linalg.det(state.cell))
+        return pot.stress_voigt(virial, volume)
 
     def to_atoms(self, atoms_template: Atoms, state: MDState) -> Atoms:
         out = atoms_template.copy()

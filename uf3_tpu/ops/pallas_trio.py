@@ -345,26 +345,42 @@ def _assemble_forces(energy, f_center, s1, s3, v3, d, r,
 
 @functools.partial(jax.jit,
                    static_argnames=("spec_l", "spec_n", "l_basis",
-                                    "n_basis"))
+                                    "n_basis", "block_atoms"))
 def trio_forces_unrolled(grid,
                          positions, cell, nbr_idx, nbr_shift, nbr_mask,
                          nbr_rev,
                          spec_l: LegSpec = None,
                          spec_n: LegSpec = None,
                          l_basis: int = 0,
-                         n_basis: int = 0):
+                         n_basis: int = 0,
+                         block_atoms: int = 512):
     """
     Plain-XLA twin of the Pallas kernel: the same fused pair-lane
-    computation over the whole atom axis in one block (XLA's fusion
-    keeps the unrolled L x NC loop nest in registers).  Used when
-    Mosaic compilation is unavailable.
+    computation applied blockwise with lax.map to bound intermediate
+    materialization.  Used when Mosaic compilation is unavailable.
     """
     n_atoms, capacity = nbr_idx.shape
     d = (positions[nbr_idx] + nbr_shift @ cell
          - positions[:, None, :])
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
-    energy, f_center, s1, s3, v3 = _trio_block_compute(
-        d, nbr_mask, grid, spec_l, spec_n, l_basis, n_basis)
-    return _assemble_forces(energy[:, 0], f_center, s1, s3, v3, d, r,
+    pad = (-n_atoms) % block_atoms
+    d_blocks = jnp.pad(d, ((0, pad), (0, 0), (0, 0))).reshape(
+        -1, block_atoms, capacity, 3)
+    m_blocks = jnp.pad(nbr_mask, ((0, pad), (0, 0))).reshape(
+        -1, block_atoms, capacity)
+
+    def block_fn(args):
+        d_b, m_b = args
+        return _trio_block_compute(d_b, m_b, grid, spec_l, spec_n,
+                                   l_basis, n_basis)
+
+    energy, f_center, s1, s3, v3 = jax.lax.map(block_fn,
+                                               (d_blocks, m_blocks))
+    energy = energy.reshape(-1)[:n_atoms]
+    f_center = f_center.reshape(-1, 3)[:n_atoms]
+    s1 = s1.reshape(-1, capacity)[:n_atoms]
+    s3 = s3.reshape(-1, capacity)[:n_atoms]
+    v3 = v3.reshape(-1, capacity, 3)[:n_atoms]
+    return _assemble_forces(energy, f_center, s1, s3, v3, d, r,
                             nbr_idx, nbr_rev, nbr_mask)
