@@ -331,10 +331,16 @@ def trio_forces_pallas(grid,
 
 def _assemble_forces(energy, f_center, s1, s3, v3, d, r,
                      nbr_idx, nbr_rev, nbr_mask):
-    """Neighbor-term assembly: one row gather through inverse slots."""
-    s1_rows = s1[nbr_idx, nbr_rev]          # (N, K)
-    s3_rows = s3[nbr_idx, nbr_rev]
-    v3_rows = v3[nbr_idx, nbr_rev]          # (N, K, 3)
+    """Neighbor-term assembly: one row gather through inverse slots.
+    Uses flattened single-index gathers (multi-array advanced indexing
+    faults the TPU runtime at scale)."""
+    n_atoms, capacity = nbr_idx.shape
+    flat = (nbr_idx.astype(jnp.int32) * capacity
+            + nbr_rev.astype(jnp.int32))    # (N, K)
+    s1_rows = jnp.take(s1.reshape(-1), flat, axis=0)
+    s3_rows = jnp.take(s3.reshape(-1), flat, axis=0)
+    v3_rows = jnp.take(v3.reshape(-1, 3), flat.reshape(-1),
+                       axis=0).reshape(n_atoms, capacity, 3)
     unit = d / r[..., None]
     contrib = (s1_rows[..., None] * unit
                + s3_rows[..., None] * d + v3_rows)
