@@ -75,18 +75,48 @@ class MDSystem:
         else:
             self.capacity_3b = 0
         self._positions0 = jnp.asarray(atoms.get_positions(), dtype=dtype)
+        # cell-list geometry (static): used when the box is large
+        # enough that O(N) binning beats the O(N^2) scan
+        self._cells_2b = self._cell_list_setup(atoms,
+                                               self.r_cut_2b + self.skin)
+        self._cells_3b = self._cell_list_setup(atoms,
+                                               self.r_cut_3b + self.skin) \
+            if self.degree > 2 else None
+
+    def _cell_list_setup(self, atoms, r_cut):
+        if not np.any(atoms.get_pbc()) or len(atoms) < 512:
+            return None
+        grid_shape = nb.grid_shape_for(atoms.get_cell(), r_cut,
+                                       atoms.get_pbc())
+        n_bins = int(np.prod(grid_shape))
+        if n_bins < 16:
+            return None
+        density = len(atoms) / atoms.get_volume()
+        bin_volume = atoms.get_volume() / n_bins
+        bin_capacity = max(8, int(np.ceil(density * bin_volume * 1.6)))
+        topology = nb.bin_topology(grid_shape, atoms.get_pbc())
+        return (grid_shape, bin_capacity, topology)
 
     # -- neighbor construction ---------------------------------------------
+    def _build_one(self, positions, cell, r_cut, capacity, cells):
+        if cells is not None:
+            grid_shape, bin_capacity, topology = cells
+            return nb.build_neighbor_list_cells(
+                positions, cell, self.pbc, r_cut, capacity,
+                grid_shape, bin_capacity, topology)
+        return nb.build_neighbor_list(positions, cell, self.pbc, r_cut,
+                                      capacity)
+
     def build_lists(self, positions, cell=None):
         cell = self.cell if cell is None else cell
-        nbr2 = nb.build_neighbor_list(positions, cell, self.pbc,
-                                      self.r_cut_2b + self.skin,
-                                      self.capacity_2b)
+        nbr2 = self._build_one(positions, cell,
+                               self.r_cut_2b + self.skin,
+                               self.capacity_2b, self._cells_2b)
         nbr3 = None
         if self.degree > 2:
-            nbr3 = nb.build_neighbor_list(positions, cell, self.pbc,
-                                          self.r_cut_3b + self.skin,
-                                          self.capacity_3b)
+            nbr3 = self._build_one(positions, cell,
+                                   self.r_cut_3b + self.skin,
+                                   self.capacity_3b, self._cells_3b)
         return nbr2, nbr3
 
     def energy_forces(self, positions, nbr2, nbr3, cell=None):

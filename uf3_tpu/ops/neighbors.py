@@ -10,7 +10,7 @@ distances.py) with fixed shapes: (N, K) neighbor indices + shifts + mask,
 plus an inverse-slot map used by the scatter-free 3-body force kernel.
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +99,167 @@ def _reverse_slots(idx, shift, mask):
         cand_shift == -shift[:, :, None, :], axis=-1)
     rev = jnp.argmax(match, axis=-1).astype(jnp.int32)
     return jnp.where(mask, rev, 0)
+
+
+def bin_topology(grid_shape, pbc):
+    """
+    Static 27-neighbor bin map: for every bin, the linear ids of its
+    (up to) 27 neighbor bins and the integer image shift each crossing
+    applies.  Bins repeat with different shifts when a direction has
+    fewer than 3 bins (multi-image enumeration, exact for boxes down to
+    one cutoff per direction).
+
+    Returns (nbr_bins (B, 27) int32, nbr_shifts (B, 27, 3) float,
+    valid (B, 27) bool) as numpy arrays (host, static).
+    """
+    nx, ny, nz = grid_shape
+    n_bins = nx * ny * nz
+    coords = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                  np.arange(nz), indexing="ij"),
+                      axis=-1).reshape(-1, 3)
+    offsets = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                   indexing="ij"), axis=-1).reshape(-1, 3)
+    nbr_bins = np.zeros((n_bins, 27), dtype=np.int32)
+    nbr_shifts = np.zeros((n_bins, 27, 3))
+    valid = np.ones((n_bins, 27), dtype=bool)
+    dims = np.array([nx, ny, nz])
+    pbc_arr = np.asarray(pbc, dtype=bool)
+    for o_idx, offset in enumerate(offsets):
+        target = coords + offset
+        shift = np.zeros_like(target, dtype=float)
+        for d in range(3):
+            below = target[:, d] < 0
+            above = target[:, d] >= dims[d]
+            if pbc_arr[d]:
+                shift[below, d] = -1
+                shift[above, d] = 1
+                target[:, d] = target[:, d] % dims[d]
+            else:
+                valid[below | above, o_idx] = False
+                target[:, d] = np.clip(target[:, d], 0, dims[d] - 1)
+        nbr_bins[:, o_idx] = (target[:, 0] * ny + target[:, 1]) * nz \
+            + target[:, 2]
+        nbr_shifts[:, o_idx] = shift
+    return nbr_bins, nbr_shifts, valid
+
+
+def grid_shape_for(cell: np.ndarray, r_cut: float,
+                   pbc) -> Tuple[int, int, int]:
+    """Bins per direction: floor(perpendicular width / r_cut), >= 1."""
+    cell = np.asarray(cell, dtype=np.float64)
+    a, b, c = cell
+    normals = [np.cross(b, c), np.cross(a, c), np.cross(a, b)]
+    shape = []
+    for v, n in zip((a, b, c), normals):
+        width = abs(np.dot(v, n)) / max(np.linalg.norm(n), 1e-300)
+        shape.append(max(1, int(np.floor(width / r_cut))))
+    return tuple(shape)
+
+
+def build_neighbor_list_cells(positions: jnp.ndarray,
+                              cell: jnp.ndarray,
+                              pbc,
+                              r_cut: float,
+                              capacity: int,
+                              grid_shape: Tuple[int, int, int],
+                              bin_capacity: int,
+                              topology=None) -> NeighborList:
+    """
+    O(N) cell-list neighbor search, jit-compatible with static bin
+    geometry: one argsort bins the atoms, candidates come from the 27
+    neighbor bins via a static topology map, and the per-row top-k runs
+    over only 27 * bin_capacity candidates instead of all atoms.
+    """
+    n_atoms = positions.shape[0]
+    capacity = min(capacity, n_atoms)
+    nx, ny, nz = grid_shape
+    n_bins = nx * ny * nz
+    cap_b = bin_capacity
+    if topology is None:
+        topology = bin_topology(grid_shape, pbc)
+    nbr_bins, nbr_shifts, nbr_valid = (jnp.asarray(t) for t in topology)
+    pbc_vec = jnp.asarray(pbc, dtype=positions.dtype).reshape(3)
+    frac = positions @ jnp.linalg.inv(cell)
+    # wrap periodic directions; base shift restores original positions
+    frac_wrapped = jnp.where(pbc_vec > 0, frac % 1.0, frac)
+    base_shift = frac - frac_wrapped  # integer image of each atom
+    dims = jnp.array(grid_shape, dtype=positions.dtype)
+    bin_coord = jnp.clip((frac_wrapped * dims).astype(jnp.int32), 0,
+                         jnp.array(grid_shape, dtype=jnp.int32) - 1)
+    bin_id = (bin_coord[:, 0] * ny + bin_coord[:, 1]) * nz \
+        + bin_coord[:, 2]
+    order = jnp.argsort(bin_id)
+    sorted_bid = bin_id[order]
+    starts = jnp.searchsorted(sorted_bid, jnp.arange(n_bins),
+                              side="left")
+    counts = jnp.diff(jnp.append(starts, n_atoms))
+    overflow_bins = jnp.any(counts > cap_b)
+    # bin occupancy table: atom index per (bin, slot), -1-free via mask
+    slot = jnp.arange(cap_b)
+    gather_idx = jnp.clip(starts[:, None] + slot[None, :], 0,
+                          n_atoms - 1)
+    bin_atoms = order[gather_idx]                      # (B, cap_b)
+    bin_mask = slot[None, :] < counts[:, None]         # (B, cap_b)
+    wrapped_pos = frac_wrapped @ cell
+    bin_pos = jnp.take(wrapped_pos, bin_atoms.reshape(-1),
+                       axis=0).reshape(n_bins, cap_b, 3)
+    # candidates per bin: atoms of the 27 neighbor bins (+ image shift)
+    cand_atoms = jnp.take(bin_atoms, nbr_bins.reshape(-1),
+                          axis=0).reshape(n_bins, 27 * cap_b)
+    cand_mask = (jnp.take(bin_mask, nbr_bins.reshape(-1), axis=0)
+                 .reshape(n_bins, 27, cap_b)
+                 & nbr_valid[:, :, None]).reshape(n_bins, 27 * cap_b)
+    cand_pos = (jnp.take(bin_pos, nbr_bins.reshape(-1), axis=0)
+                .reshape(n_bins, 27, cap_b, 3)
+                + (nbr_shifts[:, :, None, :] @ cell)
+                ).reshape(n_bins, 27 * cap_b, 3)
+    cand_shift = jnp.broadcast_to(nbr_shifts[:, :, None, :],
+                                  (n_bins, 27, cap_b, 3)
+                                  ).reshape(n_bins, 27 * cap_b, 3)
+    # distances between every bin atom and its candidates
+    diff = cand_pos[:, None, :, :] - bin_pos[:, :, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)     # (B, cap_b, 27*cap_b)
+    within = (cand_mask[:, None, :] & bin_mask[:, :, None]
+              & (d2 < r_cut * r_cut) & (d2 > 1e-12))
+    count_row = jnp.sum(within, axis=-1)
+    overflow = overflow_bins | jnp.any(
+        jnp.where(bin_mask, count_row, 0) > capacity)
+    key = jnp.where(within, -d2, jnp.inf)
+    neg, sel = jax.lax.top_k(-key, capacity)  # (B, cap_b, K)
+    mask_sel = neg > -jnp.inf
+    idx_sel = jnp.take_along_axis(
+        jnp.broadcast_to(cand_atoms[:, None, :],
+                         (n_bins, cap_b, 27 * cap_b)),
+        sel, axis=2).astype(jnp.int32)                 # (B, cap_b, K)
+    shift_sel = jnp.take_along_axis(
+        jnp.broadcast_to(cand_shift[:, None, :, :],
+                         (n_bins, cap_b, 27 * cap_b, 3)),
+        sel[..., None], axis=2)                        # (B, cap_b, K, 3)
+    # relative image shift: candidate image minus this atom's own image
+    # (positions were wrapped; restore absolute-position consistency)
+    base_i = jnp.take(base_shift, bin_atoms.reshape(-1),
+                      axis=0).reshape(n_bins, cap_b, 3)
+    base_j = jnp.take(base_shift, idx_sel.reshape(-1),
+                      axis=0).reshape(n_bins, cap_b, capacity, 3)
+    shift_total = (shift_sel - base_j + base_i[:, :, None, :])
+    # back to atom order via the inverse permutation (gather, no
+    # scatter): atom a sits at sorted position inv_order[a], i.e. slot
+    # inv_order[a] - starts[bin_id[a]] of its bin row
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+    atom_slot = inv_order - starts[bin_id].astype(jnp.int32)
+    flat_row = bin_id.astype(jnp.int32) * cap_b + atom_slot
+    idx_out = jnp.take(idx_sel.reshape(-1, capacity), flat_row, axis=0)
+    shift_out = jnp.take(shift_total.reshape(-1, capacity, 3),
+                         flat_row, axis=0)
+    mask_out = jnp.take(mask_sel.reshape(-1, capacity), flat_row,
+                        axis=0)
+    self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
+    idx_out = jnp.where(mask_out, idx_out, self_idx)
+    shift_out = jnp.where(mask_out[:, :, None], shift_out, 0.0)
+    rev = _reverse_slots(idx_out, shift_out, mask_out)
+    return NeighborList(idx=idx_out, shift=shift_out, mask=mask_out,
+                        rev=rev, overflow=overflow,
+                        reference_positions=positions)
 
 
 def needs_rebuild(nbr: NeighborList, positions, skin: float) -> jnp.ndarray:
