@@ -1,0 +1,88 @@
+"""
+Batched convenience drivers: evaluate or relax many configurations with
+one calculator (capability parity with uf3/forcefield/lammps.py:134-193,
+which drives a linked LAMMPS library; here the framework's own engine
+does the work, recreating nothing between entries and surviving
+per-entry failures).
+"""
+
+from typing import List, Tuple
+
+import numpy as np
+
+from uf3_tpu.data.atoms import Atoms
+
+
+def batched_energy_and_forces(geometries: List[Atoms],
+                              calc) -> Tuple[List[float], List]:
+    """Energies and forces for a list of configurations."""
+    energies = []
+    forces = []
+    for geom in geometries:
+        energies.append(calc.get_potential_energy(geom))
+        forces.append(calc.get_forces(geom))
+    return energies, forces
+
+
+def batch_relax(geometries: List[Atoms],
+                calc,
+                fmax: float = 0.05,
+                max_steps: int = 300,
+                names: List[str] = None):
+    """
+    Relax a batch of configurations; entries that fail are skipped and
+    the batch continues (cf. reference lammps.py:183-188).
+    """
+    relaxed = []
+    energies = []
+    forces = []
+    kept_names = []
+    for i, geom in enumerate(geometries):
+        try:
+            out = calc.relax_fmax(geom, fmax=fmax, steps=max_steps)
+            relaxed.append(out)
+            energies.append(calc.get_potential_energy(out))
+            forces.append(calc.get_forces(out))
+            if names is not None:
+                kept_names.append(names[i])
+        except (ValueError, FloatingPointError, RuntimeError):
+            continue
+    if names is not None:
+        return relaxed, energies, forces, kept_names
+    return relaxed, energies, forces
+
+
+def save_md_checkpoint(filename: str, state, system=None) -> None:
+    """Write an MD state checkpoint (positions, velocities, forces,
+    PRNG key, thermostat momentum, cell) as a compressed npz."""
+    np.savez_compressed(
+        filename,
+        positions=np.asarray(state.positions),
+        velocities=np.asarray(state.velocities),
+        forces=np.asarray(state.forces),
+        energy=np.asarray(state.energy),
+        key=np.asarray(state.key),
+        xi=np.asarray(state.xi),
+        cell=np.asarray(state.cell))
+
+
+def load_md_checkpoint(filename: str, system):
+    """Restore an MDState from a checkpoint; neighbor lists are
+    rebuilt from the stored positions."""
+    import jax.numpy as jnp
+    from uf3_tpu.forcefield.md import MDState
+    data = np.load(filename)
+    positions = jnp.asarray(data["positions"], dtype=system.dtype)
+    cell = jnp.asarray(data["cell"], dtype=system.dtype)
+    nbr2, nbr3 = system.build_lists(positions, cell)
+    return MDState(
+        positions=positions,
+        velocities=jnp.asarray(data["velocities"],
+                               dtype=system.dtype),
+        forces=jnp.asarray(data["forces"], dtype=system.dtype),
+        energy=jnp.asarray(data["energy"], dtype=system.dtype),
+        nbr2=nbr2, nbr3=nbr3,
+        key=jnp.asarray(data["key"]),
+        xi=jnp.asarray(data["xi"], dtype=system.dtype),
+        stale=jnp.zeros((), dtype=bool),
+        cell=cell)
