@@ -39,10 +39,16 @@ def main():
         resolution_map={("W", "W"): 15, ("W", "W", "W"): [6, 6, 12]})
     featurizer = BasisFeaturizer(basis)
 
+    import os
+    from uf3_tpu.util import parallel as par
+    n_cores = os.cpu_count() or 4
     t0 = time.time()
-    featurizer.batched_to_hdf(features_path, df_data, batch_size=50)
+    with par.get_executor(n_cores) as executor:
+        featurizer.batched_to_hdf(features_path, df_data,
+                                  client=executor, n_jobs=n_cores,
+                                  batch_size=50)
     t_feat = time.time() - t0
-    print(f"featurization: {t_feat:.1f} s")
+    print(f"featurization: {t_feat:.1f} s ({n_cores} workers)")
 
     model = WeightedLinearModel(basis, c2=1e-8, c3=1e-8)
     subset = list(df_data.index)

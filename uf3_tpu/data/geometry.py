@@ -97,13 +97,17 @@ def mask_supercell_with_radius(geom: Atoms,
 
 
 def get_distance_matrix(geom: Atoms, supercell: Atoms = None) -> np.ndarray:
-    """Dense Euclidean distance matrix between geom and supercell atoms."""
+    """Dense Euclidean distance matrix between geom and supercell atoms
+    via the BLAS quadratic expansion |a|^2 + |b|^2 - 2 a.b (no (n, m, 3)
+    intermediate)."""
     if supercell is None:
         supercell = geom
     geo_pos = geom.get_positions()
     sup_pos = supercell.get_positions()
-    diff = geo_pos[:, None, :] - sup_pos[None, :, :]
-    return np.sqrt(np.sum(diff * diff, axis=-1))
+    d2 = (np.sum(geo_pos * geo_pos, axis=1)[:, None]
+          + np.sum(sup_pos * sup_pos, axis=1)[None, :]
+          - 2.0 * (geo_pos @ sup_pos.T))
+    return np.sqrt(np.maximum(d2, 0.0))
 
 
 def generate_displacements_from_forces(geom: Atoms,

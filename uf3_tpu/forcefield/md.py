@@ -98,14 +98,18 @@ class MDSystem:
         return (grid_shape, bin_capacity, topology)
 
     # -- neighbor construction ---------------------------------------------
-    def _build_one(self, positions, cell, r_cut, capacity, cells):
+    def _build_one(self, positions, cell, r_cut, capacity, cells,
+                   with_rev=False):
+        # the reverse-slot map is only needed by the 3-body kernel;
+        # skipping it for the (much wider) 2-body list saves an
+        # (N, K2, K2) pass per rebuild
         if cells is not None:
             grid_shape, bin_capacity, topology = cells
             return nb.build_neighbor_list_cells(
                 positions, cell, self.pbc, r_cut, capacity,
-                grid_shape, bin_capacity, topology)
+                grid_shape, bin_capacity, topology, with_rev=with_rev)
         return nb.build_neighbor_list(positions, cell, self.pbc, r_cut,
-                                      capacity)
+                                      capacity, with_rev=with_rev)
 
     def build_lists(self, positions, cell=None):
         cell = self.cell if cell is None else cell
@@ -114,9 +118,15 @@ class MDSystem:
                                self.capacity_2b, self._cells_2b)
         nbr3 = None
         if self.degree > 2:
-            nbr3 = self._build_one(positions, cell,
-                                   self.r_cut_3b + self.skin,
-                                   self.capacity_3b, self._cells_3b)
+            if self.r_cut_3b <= self.r_cut_2b:
+                # the 3-body list is a subset of the 2-body list
+                nbr3 = nb.filter_neighbor_list(
+                    nbr2, positions, cell, self.r_cut_3b + self.skin,
+                    self.capacity_3b)
+            else:
+                nbr3 = self._build_one(positions, cell,
+                                       self.r_cut_3b + self.skin,
+                                       self.capacity_3b, self._cells_3b)
         return nbr2, nbr3
 
     def energy_forces(self, positions, nbr2, nbr3, cell=None):

@@ -36,7 +36,8 @@ def build_neighbor_list(positions: jnp.ndarray,
                         pbc,
                         r_cut: float,
                         capacity: int,
-                        block_size: int = 512) -> NeighborList:
+                        block_size: int = 512,
+                        with_rev: bool = True) -> NeighborList:
     """
     O(N^2) minimum-image neighbor search with per-row top-k selection,
     processed in row blocks to bound memory.  jit-compatible.
@@ -77,10 +78,38 @@ def build_neighbor_list(positions: jnp.ndarray,
     self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
     idx = jnp.where(mask, idx, self_idx)
     shift = jnp.where(mask[:, :, None], shift, 0.0)
-    rev = _reverse_slots(idx, shift, mask)
+    rev = _reverse_slots(idx, shift, mask) if with_rev \
+        else jnp.zeros_like(idx)
     return NeighborList(idx=idx, shift=shift, mask=mask, rev=rev,
                         overflow=overflow,
                         reference_positions=positions)
+
+
+def filter_neighbor_list(nbr: NeighborList, positions, cell,
+                         r_cut: float, capacity: int,
+                         with_rev: bool = True) -> NeighborList:
+    """Derive a smaller-cutoff list from an existing one (the 3-body
+    list is a subset of the 2-body list): per-row top-k over the parent
+    capacity instead of a fresh O(N^2) or cell search."""
+    n_atoms = nbr.idx.shape[0]
+    d = displacements(positions, cell, nbr.idx, nbr.shift)
+    d2 = jnp.sum(d * d, axis=-1)
+    within = nbr.mask & (d2 < r_cut * r_cut)
+    overflow = nbr.overflow | jnp.any(
+        jnp.sum(within, axis=1) > capacity)
+    key = jnp.where(within, -d2, jnp.inf)
+    neg, sel = jax.lax.top_k(-key, capacity)
+    mask = neg > -jnp.inf
+    idx = jnp.take_along_axis(nbr.idx, sel, axis=1)
+    shift = jnp.take_along_axis(nbr.shift, sel[..., None], axis=1)
+    self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
+    idx = jnp.where(mask, idx, self_idx)
+    shift = jnp.where(mask[:, :, None], shift, 0.0)
+    rev = _reverse_slots(idx, shift, mask) if with_rev \
+        else jnp.zeros_like(idx)
+    return NeighborList(idx=idx, shift=shift, mask=mask, rev=rev,
+                        overflow=overflow,
+                        reference_positions=nbr.reference_positions)
 
 
 def _reverse_slots(idx, shift, mask):
@@ -163,7 +192,8 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
                               capacity: int,
                               grid_shape: Tuple[int, int, int],
                               bin_capacity: int,
-                              topology=None) -> NeighborList:
+                              topology=None,
+                              with_rev: bool = True) -> NeighborList:
     """
     O(N) cell-list neighbor search, jit-compatible with static bin
     geometry: one argsort bins the atoms, candidates come from the 27
@@ -256,7 +286,8 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
     self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
     idx_out = jnp.where(mask_out, idx_out, self_idx)
     shift_out = jnp.where(mask_out[:, :, None], shift_out, 0.0)
-    rev = _reverse_slots(idx_out, shift_out, mask_out)
+    rev = _reverse_slots(idx_out, shift_out, mask_out) if with_rev \
+        else jnp.zeros_like(idx_out)
     return NeighborList(idx=idx_out, shift=shift_out, mask=mask_out,
                         rev=rev, overflow=overflow,
                         reference_positions=positions)

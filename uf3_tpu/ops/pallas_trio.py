@@ -174,9 +174,9 @@ def _trio_block_compute(d, valid, grid,
     pair_valid = (valid[:, :, None] & valid[:, None, :]
                   & (r_mn2 > 1e-10))
     c_mat, dc_mat = _dense_basis(r_mn, pair_valid, spec_n)
-    # pair-lane layout: p = i * K + j on the last axis
-    c_p = c_mat.reshape(ba, k * k, nc).transpose(0, 2, 1)
-    dc_p = dc_mat.reshape(ba, k * k, nc).transpose(0, 2, 1)
+    # pair-major layout: p = m * K + n
+    c_pair = c_mat.reshape(ba, k * k, nc)
+    dc_pair = dc_mat.reshape(ba, k * k, nc)
     g_flat = grid.reshape(l_dim, l_dim * nc)
     h = jnp.dot(a_mat.reshape(ba * k, l_dim), g_flat,
                 preferred_element_type=d.dtype).reshape(ba, k, l_dim,
@@ -184,11 +184,17 @@ def _trio_block_compute(d, valid, grid,
     h1 = jnp.dot(da_mat.reshape(ba * k, l_dim), g_flat,
                  preferred_element_type=d.dtype).reshape(ba, k, l_dim,
                                                          nc)
+    # accumulate T[m, n] = sum_bc B[n, b] C[mn, c] H[m, b, c] on the
+    # K*K pair-lane axis: the m-dependent H columns are repeated onto
+    # the pair lanes (blocked repeat), the n-dependent B columns tiled;
+    # the static L x NC loop nest stays in one fused VPU pass per block
     value = jnp.zeros((ba, k * k), dtype=d.dtype)
     t1 = jnp.zeros((ba, k * k), dtype=d.dtype)
     t3 = jnp.zeros((ba, k * k), dtype=d.dtype)
+    c_p = c_pair.transpose(0, 2, 1)      # (BA, NC, K*K)
+    dc_p = dc_pair.transpose(0, 2, 1)
     for b_idx in range(l_dim):
-        hb = h[:, :, b_idx, :]       # (BA, K, NC) per i
+        hb = h[:, :, b_idx, :]           # (BA, K, NC) per m
         h1b = h1[:, :, b_idx, :]
         db = jnp.zeros((ba, k * k), dtype=d.dtype)
         d1b = jnp.zeros((ba, k * k), dtype=d.dtype)
@@ -199,7 +205,7 @@ def _trio_block_compute(d, valid, grid,
             db = db + c_p[:, c_idx, :] * h_bc
             d1b = d1b + c_p[:, c_idx, :] * h1_bc
             d3b = d3b + dc_p[:, c_idx, :] * h_bc
-        b_col = jnp.tile(a_mat[:, :, b_idx], (1, k))     # (BA, K*K)
+        b_col = jnp.tile(a_mat[:, :, b_idx], (1, k))   # (BA, K*K)
         value = value + b_col * db
         t1 = t1 + b_col * d1b
         t3 = t3 + b_col * d3b

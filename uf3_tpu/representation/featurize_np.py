@@ -199,8 +199,17 @@ def enumerate_triplets(geom: Atoms,
         aux: (positions or None, distance matrix)
     """
     n_atoms = len(geom)
-    sup_z = supercell.get_atomic_numbers() if supercell is not None \
-        else geom.get_atomic_numbers()
+    if supercell is None:
+        supercell = geom
+    # ghosts farther than 2 r_max from every in-cell atom can appear in
+    # no valid triangle (center within r_max of a real atom, both legs
+    # within r_max of the center); drop them before the square matrix
+    if len(supercell) > n_atoms:
+        r_max = max(float(seq[-1]) for set_ in knot_sets
+                    for seq in set_[:2])
+        supercell = geo.mask_supercell_with_radius(geom, supercell,
+                                                   2.0 * r_max)
+    sup_z = supercell.get_atomic_numbers()
     if square:
         coords, matrix, i_where, j_where = identify_ij(
             geom, knot_sets, supercell, square=True)
