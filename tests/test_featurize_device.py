@@ -1,0 +1,83 @@
+"""
+Device-featurizer tests: exact agreement with the host (oracle)
+featurizer for small-cell (multi-image) and larger periodic tungsten
+configurations, and an end-to-end device-featurized fit matching the
+host-featurized fit.
+"""
+
+import numpy as np
+import pytest
+
+from uf3_tpu.data.atoms import bulk
+from uf3_tpu.data.composition import ChemicalSystem
+from uf3_tpu.ops import featurize_jax as fj
+from uf3_tpu.regression import least_squares as ls
+from uf3_tpu.representation.basis import BSplineBasis
+from uf3_tpu.representation.process import BasisFeaturizer
+
+
+@pytest.fixture(scope="module")
+def tungsten_basis():
+    chem = ChemicalSystem(["W"], degree=3)
+    return BSplineBasis(
+        chem,
+        r_min_map={("W", "W"): 1.5, ("W", "W", "W"): [1.5] * 3},
+        r_max_map={("W", "W"): 5.5, ("W", "W", "W"): [3.5, 3.5, 7.0]},
+        resolution_map={("W", "W"): 15, ("W", "W", "W"): [6, 6, 12]})
+
+
+@pytest.mark.parametrize("reps,seed", [(2, 0), (3, 7)])
+def test_device_matches_host_featurizer(tungsten_basis, reps, seed):
+    featurizer = BasisFeaturizer(tungsten_basis)
+    spec = fj.build_featurize_spec(tungsten_basis)
+    assert spec is not None
+    geom = bulk("W", "bcc", a=3.1652) * reps
+    geom.rattle(0.05, seed=seed)
+    n_atoms = len(geom)
+    ref = featurizer.evaluate_configuration(
+        geom, energy=0.0, forces=np.zeros((3, n_atoms)))
+    e_ref = np.array(ref["energy"])[1:]
+    f_ref = np.stack([[np.array(ref[f"f{c}_{a}"])[1:] for c in "xyz"]
+                      for a in range(n_atoms)])
+    e_dev, f_dev = fj.featurize_configuration_device(
+        tungsten_basis, geom, spec)
+    assert np.allclose(e_dev, e_ref, atol=1e-9)
+    assert np.allclose(f_dev, f_ref, atol=1e-9)
+
+
+def test_device_fit_matches_host_fit(tungsten_basis):
+    rng = np.random.RandomState(0)
+    geometries = []
+    energies = []
+    forces = []
+    for i in range(3):
+        geom = bulk("W", "bcc", a=3.1652) * 2
+        geom.rattle(0.04, seed=i)
+        geometries.append(geom)
+        energies.append(-8.9 * len(geom) + rng.rand())
+        forces.append(rng.normal(scale=0.2, size=(len(geom), 3)))
+    # host path
+    featurizer = BasisFeaturizer(tungsten_basis)
+    import pandas as pd
+    rows = {}
+    for i, (geom, energy, force) in enumerate(
+            zip(geometries, energies, forces)):
+        rows.update(featurizer.evaluate_configuration(
+            geom, name=f"c_{i}", energy=energy, forces=force.T))
+    df = pd.DataFrame.from_dict(rows, orient="index",
+                                columns=featurizer.columns)
+    df.index = pd.MultiIndex.from_tuples(df.index)
+    x_e, y_e, x_f, y_f = ls.dataframe_to_tuples(df, n_elements=1)
+    host_model = ls.WeightedLinearModel(tungsten_basis)
+    host_model.fit(x_e, y_e, x_f, y_f)
+    # device path
+    xd_e, yd_e, xd_f, yd_f = fj.featurize_dataset_device(
+        tungsten_basis, geometries, energies, forces)
+    assert np.allclose(xd_e, x_e, atol=1e-9)
+    assert np.allclose(yd_e, y_e)
+    assert np.allclose(xd_f, x_f, atol=1e-9)
+    assert np.allclose(yd_f, y_f)
+    device_model = ls.WeightedLinearModel(tungsten_basis)
+    device_model.fit(xd_e, yd_e, xd_f, yd_f)
+    assert np.allclose(device_model.coefficients,
+                       host_model.coefficients, atol=1e-8)

@@ -40,9 +40,15 @@ class LegSpec(NamedTuple):
     t_min: float     # r-space lower bound (inclusive mask)
     t_max: float     # r-space upper bound (inclusive mask)
     n_basis: int     # number of basis functions (n_int + 3)
+    knots: Tuple[float, ...] = None  # exact interior points (optional):
+    #   the reference rounds generated knots to 10 decimals
+    #   (knots.py generate_uniform_knots); the closed form is within
+    #   ~5e-11 of that, fine for MD (f32) but the exact table is used
+    #   by the featurization path for bit-level parity
 
 
-def leg_spec_from_knots(seq: np.ndarray) -> Tuple[bool, LegSpec]:
+def leg_spec_from_knots(seq: np.ndarray,
+                        exact: bool = False) -> Tuple[bool, LegSpec]:
     """Detect the generating strategy of a clamped knot sequence.
     Returns (ok, spec); ok=False means no closed form applies."""
     seq = np.asarray(seq, dtype=np.float64)
@@ -56,14 +62,22 @@ def leg_spec_from_knots(seq: np.ndarray) -> Tuple[bool, LegSpec]:
         u = fwd(pts)
         gaps = np.diff(u)
         if np.allclose(gaps, gaps[0], rtol=1e-6, atol=1e-9):
-            return True, LegSpec(kind, float(u[0]), float(gaps[0]),
-                                 n_int, float(seq[0]), float(seq[-1]),
-                                 n_int + 3)
+            return True, LegSpec(
+                kind, float(u[0]), float(gaps[0]), n_int,
+                float(seq[0]), float(seq[-1]), n_int + 3,
+                tuple(float(p) for p in pts) if exact else None)
     return False, None
 
 
 def _knot_value(spec: LegSpec, k):
     """r-space knot value for (clipped) uniform index k."""
+    if spec.knots is not None:
+        # exact table lookup via branchless one-hot (small static table)
+        table = spec.knots
+        out = jnp.full(k.shape, table[0], dtype=jnp.result_type(float))
+        for idx_k in range(1, len(table)):
+            out = jnp.where(k == idx_k, table[idx_k], out)
+        return out
     u = spec.u0 + k * spec.h
     if spec.kind == LINEAR:
         return u
