@@ -150,10 +150,14 @@ def _deboor4(r, idx, spec: LegSpec):
 
 
 def _dense_basis(r, valid, spec: LegSpec):
-    """Dense (..., n_basis) basis and derivative matrices."""
+    """Dense (..., n_basis) basis and derivative matrices.  ``valid``
+    may be bool or float; masks are handled as float arithmetic (Mosaic
+    cannot insert minor dims on 1-bit vectors)."""
     idx = _leg_interval(spec, r)
     values, derivs = _deboor4(r, idx, spec)
-    in_range = valid & (r >= spec.t_min) & (r <= spec.t_max)
+    in_range_f = (valid.astype(r.dtype)
+                  * (r >= spec.t_min).astype(r.dtype)
+                  * (r <= spec.t_max).astype(r.dtype))
     n_basis = spec.n_basis
     mats = []
     for cols in (values, derivs):
@@ -163,7 +167,7 @@ def _dense_basis(r, valid, spec: LegSpec):
         for tap in range(4):
             out = out + jnp.where(rel == tap,
                                   cols[tap][..., None], 0.0)
-        out = jnp.where(in_range[..., None], out, 0.0)
+        out = out * in_range_f[..., None]
         mats.append(out)
     return mats[0], mats[1]
 
@@ -179,19 +183,20 @@ def _trio_block_compute(d, valid, grid,
     K*K pair axis kept on vector lanes.
     """
     ba, k = d.shape[0], d.shape[1]
+    valid_f = valid.astype(d.dtype)
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
-    a_mat, da_mat = _dense_basis(r, valid, spec_l)      # (BA, K, L)
+    a_mat, da_mat = _dense_basis(r, valid_f, spec_l)    # (BA, K, L)
     d_mn = d[:, None, :, :] - d[:, :, None, :]          # (BA, K, K, 3)
     r_mn2 = jnp.sum(d_mn * d_mn, axis=-1)
     r_mn = jnp.sqrt(jnp.where(r_mn2 > 0, r_mn2, 1.0))
-    pair_valid = (valid[:, :, None] & valid[:, None, :]
-                  & (r_mn2 > 1e-10))
+    pair_valid = (valid_f[:, :, None] * valid_f[:, None, :]
+                  * (r_mn2 > 1e-10).astype(d.dtype))
     c_mat, dc_mat = _dense_basis(r_mn, pair_valid, spec_n)
     # pair-major layout: p = m * K + n
     c_pair = c_mat.reshape(ba, k * k, nc)
     dc_pair = dc_mat.reshape(ba, k * k, nc)
-    g_flat = grid.reshape(l_dim, l_dim * nc)
+    g_flat = grid  # pre-flattened (L, M*NC) by the caller
     h = jnp.dot(a_mat.reshape(ba * k, l_dim), g_flat,
                 preferred_element_type=d.dtype).reshape(ba, k, l_dim,
                                                         nc)
@@ -334,15 +339,18 @@ def trio_forces_pallas(grid,
         in_specs=[
             block(capacity, 3),
             block(capacity),
-            pl.BlockSpec((bundle.l_basis, bundle.l_basis,
-                          bundle.n_basis), lambda i: (0, 0, 0),
+            pl.BlockSpec((bundle.l_basis,
+                          bundle.l_basis * bundle.n_basis),
+                         lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(block(1), block(3), block(capacity),
                    block(capacity), block(capacity, 3)),
         out_shape=out_shapes,
         interpret=interpret,
-    )(d_padded, valid, bundle.grid)
+    )(d_padded, valid,
+      bundle.grid.reshape(bundle.l_basis,
+                          bundle.l_basis * bundle.n_basis))
     energy = energy[:n_atoms, 0]
     return _assemble_forces(energy, f_center[:n_atoms], s1[:n_atoms],
                             s3[:n_atoms], v3[:n_atoms], d, r,
@@ -396,9 +404,11 @@ def trio_forces_unrolled(grid,
     m_blocks = jnp.pad(nbr_mask, ((0, pad), (0, 0))).reshape(
         -1, block_atoms, capacity)
 
+    g_flat = grid.reshape(l_basis, l_basis * n_basis)
+
     def block_fn(args):
         d_b, m_b = args
-        return _trio_block_compute(d_b, m_b, grid, spec_l, spec_n,
+        return _trio_block_compute(d_b, m_b, g_flat, spec_l, spec_n,
                                    l_basis, n_basis)
 
     energy, f_center, s1, s3, v3 = jax.lax.map(block_fn,
