@@ -1,4 +1,5 @@
 import os
+os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/.jax_cache"
 import jax, time
 import numpy as np, jax.numpy as jnp

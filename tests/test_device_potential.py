@@ -164,3 +164,26 @@ class TestMD:
         assert np.allclose(np.asarray(state.forces), f_ref, atol=1e-9)
         assert np.isclose(float(state.energy),
                           calc.get_potential_energy(geom), atol=1e-9)
+
+
+class TestBinaryMD:
+    def test_binary_md_runs(self, data_dir):
+        """Multi-species MD goes through the factorized kernels."""
+        import os
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join(data_dir, "model_binary.json"))
+        rng = np.random.RandomState(3)
+        base = bulk("Ne", "fcc", a=5.4) * 3
+        numbers = base.get_atomic_numbers()
+        numbers[rng.rand(len(numbers)) > 0.5] = 54
+        geom = Atoms(numbers=numbers, positions=base.positions,
+                     cell=base.cell, pbc=True)
+        system = MDSystem(model, geom, dtype=jnp.float64,
+                          rebuild_every=5)
+        assert system.trio_bundle is None  # factorized path
+        state = system.init_state(temperature=50.0, seed=0)
+        e0 = float(state.energy) + system.kinetic_energy(state)
+        state = system.run(state, n_steps=20, dt_fs=1.0)
+        e1 = float(state.energy) + system.kinetic_energy(state)
+        assert np.isfinite(e1)
+        assert abs(e1 - e0) / len(geom) < 1e-3

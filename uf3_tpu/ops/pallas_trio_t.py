@@ -150,11 +150,11 @@ def make_trio_kernel_t(spec_l: LegSpec, spec_n: LegSpec,
         g3p = t3 / r_mn
         s3_ref[:] = jnp.sum(g3p, axis=1)
         # V3'[m, xyz, atom] = sum_n g3p[m, n, :] d[n, xyz, :]
-        v3 = jnp.zeros((k, 3, ba), dtype=d.dtype)
-        for x in range(3):
-            contrib = jnp.sum(g3p * d[None, :, x, :], axis=1)
-            v3 = v3.at[:, x, :].set(contrib)
-        v3_ref[:] = v3
+        # (concat instead of .at[].set: 3D scatter lowers to an
+        # unsupported gather in Mosaic)
+        v3_ref[:] = jnp.concatenate(
+            [jnp.sum(g3p * d[:, x, :][None, :, :], axis=1)[:, None, :]
+             for x in range(3)], axis=1)
 
     return kernel
 
