@@ -129,9 +129,11 @@ class MDSystem:
                                        self.capacity_3b, self._cells_3b)
         return nbr2, nbr3
 
-    def energy_forces(self, positions, nbr2, nbr3, cell=None):
+    def energy_forces(self, positions, nbr2, nbr3, cell=None,
+                      with_energy=True):
         """Energy + forces via the fused kernels (virial omitted; use
-        energy_forces_virial for stress)."""
+        energy_forces_virial for stress).  with_energy=False elides the
+        3-body energy accumulation (forces-only MD inner steps)."""
         cell = self.cell if cell is None else cell
         if self.trio_bundle is not None and nbr3 is not None:
             from uf3_tpu.ops import pallas_trio as pt
@@ -145,7 +147,8 @@ class MDSystem:
                 spec_l=self.trio_bundle.spec_l,
                 spec_n=self.trio_bundle.spec_n,
                 l_basis=self.trio_bundle.l_basis,
-                n_basis=self.trio_bundle.n_basis)
+                n_basis=self.trio_bundle.n_basis,
+                with_energy=with_energy)
             return (e1 + jnp.sum(e2) + jnp.sum(e3), f2 + f3, None)
         return pot.compute_energy_forces(self.params, self.species,
                                          positions, cell, nbr2,
@@ -187,12 +190,14 @@ class MDSystem:
 
     # -- integrators --------------------------------------------------------
     def _verlet_step(self, state: MDState, dt, thermostat=None,
-                     temperature=None, tau=None, friction=None):
+                     temperature=None, tau=None, friction=None,
+                     with_energy=True):
         m = self.masses[:, None]
         v = state.velocities + 0.5 * dt * state.forces / m
         x = state.positions + dt * v
         energy, forces, _ = self.energy_forces(x, state.nbr2, state.nbr3,
-                                               cell=state.cell)
+                                               cell=state.cell,
+                                               with_energy=with_energy)
         v = v + 0.5 * dt * forces / m
         key = state.key
         xi = state.xi
@@ -229,15 +234,22 @@ class MDSystem:
         tau = tau_fs * units.fs
         friction = friction_ps / units.ps
 
-        def step(s, _):
+        def fast_step(s, _):
             return self._verlet_step(
                 s, dt, thermostat=thermostat, temperature=temperature,
-                tau=tau, friction=friction), None
+                tau=tau, friction=friction, with_energy=False), None
 
         nbr2, nbr3 = self.build_lists(state.positions, state.cell)
         state = state._replace(nbr2=nbr2, nbr3=nbr3,
                                stale=jnp.zeros((), dtype=bool))
-        state, _ = jax.lax.scan(step, state, None, length=n_steps)
+        # forces-only inner steps; the chunk's last step also computes
+        # the potential energy for state bookkeeping
+        if n_steps > 1:
+            state, _ = jax.lax.scan(fast_step, state, None,
+                                    length=n_steps - 1)
+        state = self._verlet_step(
+            state, dt, thermostat=thermostat, temperature=temperature,
+            tau=tau, friction=friction, with_energy=True)
         return state
 
     def run(self, state: MDState, n_steps: int, dt_fs: float,

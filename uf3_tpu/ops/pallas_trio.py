@@ -174,7 +174,8 @@ def _dense_basis(r, valid, spec: LegSpec):
 
 def _trio_block_compute(d, valid, grid,
                         spec_l: LegSpec, spec_n: LegSpec,
-                        l_dim: int, nc: int):
+                        l_dim: int, nc: int,
+                        with_energy: bool = True):
     """
     Fused per-block computation shared by the Pallas kernel and the
     plain-XLA unrolled path: from displacements (BA, K, 3) + validity
@@ -221,11 +222,13 @@ def _trio_block_compute(d, valid, grid,
         for c_idx in range(nc):
             h_bc = jnp.repeat(hb[:, :, c_idx], k, axis=-1)
             h1_bc = jnp.repeat(h1b[:, :, c_idx], k, axis=-1)
-            db = db + c_p[:, c_idx, :] * h_bc
+            if with_energy:
+                db = db + c_p[:, c_idx, :] * h_bc
             d1b = d1b + c_p[:, c_idx, :] * h1_bc
             d3b = d3b + dc_p[:, c_idx, :] * h_bc
         b_col = jnp.tile(a_mat[:, :, b_idx], (1, k))   # (BA, K*K)
-        value = value + b_col * db
+        if with_energy:
+            value = value + b_col * db
         t1 = t1 + b_col * d1b
         t3 = t3 + b_col * d3b
     energy = 0.5 * jnp.sum(value, axis=1, keepdims=True)
@@ -379,7 +382,8 @@ def _assemble_forces(energy, f_center, s1, s3, v3, d, r,
 
 @functools.partial(jax.jit,
                    static_argnames=("spec_l", "spec_n", "l_basis",
-                                    "n_basis", "block_atoms"))
+                                    "n_basis", "block_atoms",
+                                    "with_energy"))
 def trio_forces_unrolled(grid,
                          positions, cell, nbr_idx, nbr_shift, nbr_mask,
                          nbr_rev,
@@ -387,11 +391,14 @@ def trio_forces_unrolled(grid,
                          spec_n: LegSpec = None,
                          l_basis: int = 0,
                          n_basis: int = 0,
-                         block_atoms: int = 512):
+                         block_atoms: int = 512,
+                         with_energy: bool = True):
     """
     Plain-XLA twin of the Pallas kernel: the same fused pair-lane
     computation applied blockwise with lax.map to bound intermediate
     materialization.  Used when Mosaic compilation is unavailable.
+    With ``with_energy=False`` the value-accumulation chain is elided
+    (MD inner steps need forces only).
     """
     n_atoms, capacity = nbr_idx.shape
     d = (positions[nbr_idx] + nbr_shift @ cell
@@ -409,7 +416,8 @@ def trio_forces_unrolled(grid,
     def block_fn(args):
         d_b, m_b = args
         return _trio_block_compute(d_b, m_b, g_flat, spec_l, spec_n,
-                                   l_basis, n_basis)
+                                   l_basis, n_basis,
+                                   with_energy=with_energy)
 
     energy, f_center, s1, s3, v3 = jax.lax.map(block_fn,
                                                (d_blocks, m_blocks))
