@@ -51,6 +51,7 @@ class MDSystem:
         self.params, self.static = pot.build_potential(model, dtype=dtype)
         from uf3_tpu.ops import pallas_trio as pt
         self.trio_bundle = pt.build_trio_pallas(model, dtype=dtype)
+        self.pair_fast = pt.build_pair_fast(model, dtype=dtype)
         self.dtype = dtype
         self.skin = float(skin)
         self.rebuild_every = int(rebuild_every)
@@ -138,9 +139,17 @@ class MDSystem:
         if self.trio_bundle is not None and nbr3 is not None:
             from uf3_tpu.ops import pallas_trio as pt
             e1 = jnp.sum(self.params.offsets_1b[self.species])
-            e2, f2, _ = pot.pair_contributions_fast(
-                self.params, self.static, self.species, positions,
-                cell, nbr2)
+            if self.pair_fast is not None:
+                pair_spec, pair_coeff = self.pair_fast
+                e2, f2 = pt.pair_forces_unrolled(
+                    pair_coeff, positions, cell, nbr2.idx, nbr2.shift,
+                    nbr2.mask, spec=pair_spec,
+                    n_basis=pair_spec.n_basis,
+                    with_energy=with_energy)
+            else:
+                e2, f2, _ = pot.pair_contributions_fast(
+                    self.params, self.static, self.species, positions,
+                    cell, nbr2)
             e3, f3 = pt.trio_forces_unrolled(
                 self.trio_bundle.grid, positions, cell, nbr3.idx,
                 nbr3.shift, nbr3.mask, nbr3.rev,

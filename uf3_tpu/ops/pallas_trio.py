@@ -260,6 +260,64 @@ def make_trio_kernel(spec_l: LegSpec, spec_n: LegSpec,
     return kernel
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_basis", "with_energy"))
+def pair_forces_unrolled(coefficients,
+                         positions, cell, nbr_idx, nbr_shift, nbr_mask,
+                         spec: LegSpec = None,
+                         n_basis: int = 0,
+                         with_energy: bool = True):
+    """
+    Single-pair-type 2-body energy + forces with closed-form interval
+    lookup and static coefficient selection: V(r) and dV/dr via the
+    4-tap de Boor kernel dotted with per-tap selected coefficients --
+    no per-pair table gathers or interval one-hots.
+
+    Returns (energy_sum, forces (N, 3)).
+    """
+    d = (positions[nbr_idx] + nbr_shift @ cell
+         - positions[:, None, :])
+    r2 = jnp.sum(d * d, axis=-1)
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    valid_f = (nbr_mask.astype(d.dtype)
+               * (r > spec.t_min).astype(d.dtype)
+               * (r < spec.t_max).astype(d.dtype))
+    idx = _leg_interval(spec, r)
+    values, derivs = _deboor4(r, idx, spec)
+    v_sum = jnp.zeros_like(r)
+    dv_sum = jnp.zeros_like(r)
+    for tap in range(4):
+        c_tap = jnp.zeros_like(r)
+        for w in range(n_basis):
+            c_tap = jnp.where(idx + tap == w, coefficients[w], c_tap)
+        if with_energy:
+            v_sum = v_sum + values[tap] * c_tap
+        dv_sum = dv_sum + derivs[tap] * c_tap
+    dv_sum = dv_sum * valid_f
+    energy = jnp.sum(v_sum * valid_f) if with_energy \
+        else jnp.zeros((), dtype=d.dtype)
+    unit = d / r[..., None]
+    forces = 2.0 * jnp.sum(dv_sum[..., None] * unit, axis=1)
+    return energy, forces
+
+
+def build_pair_fast(model, dtype=jnp.float32):
+    """(LegSpec, coefficients) for the closed-form pair path, or None
+    (multi-pair-type / non-closed-form knots)."""
+    config = model.bspline_config
+    pairs = config.interactions_map[2]
+    if len(pairs) != 1:
+        return None
+    pair = pairs[0]
+    ok, spec = leg_spec_from_knots(config.knots_map[pair])
+    if not ok:
+        return None
+    sizes, offsets = config.get_interaction_partitions()
+    coefficients = model.coefficients[offsets[pair]:offsets[pair]
+                                      + sizes[pair]]
+    return spec, jnp.asarray(coefficients, dtype=dtype)
+
+
 class TrioPallas(NamedTuple):
     """Host-side bundle: compiled-kernel factory inputs."""
     spec_l: LegSpec
