@@ -248,9 +248,17 @@ class MDSystem:
                 s, dt, thermostat=thermostat, temperature=temperature,
                 tau=tau, friction=friction, with_energy=False), None
 
-        nbr2, nbr3 = self.build_lists(state.positions, state.cell)
-        state = state._replace(nbr2=nbr2, nbr3=nbr3,
-                               stale=jnp.zeros((), dtype=bool))
+        # adaptive rebuild: refresh the lists only when atoms have used
+        # up half of the skin margin (the other half covers this
+        # chunk's drift); lax.cond keeps it device-side
+        def do_rebuild(s):
+            nbr2, nbr3 = self.build_lists(s.positions, s.cell)
+            return s._replace(nbr2=nbr2, nbr3=nbr3)
+
+        trigger = nb.needs_rebuild(state.nbr2, state.positions,
+                                   0.5 * self.skin)
+        state = jax.lax.cond(trigger, do_rebuild, lambda s: s, state)
+        state = state._replace(stale=jnp.zeros((), dtype=bool))
         # forces-only inner steps; the chunk's last step also computes
         # the potential energy for state bookkeeping
         if n_steps > 1:
