@@ -1,0 +1,114 @@
+"""
+Direct parity tests for the fused single-type kernels in
+uf3_tpu/ops/pallas_trio.py against the factorized device potential
+(itself validated against the host calculator oracle).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uf3_tpu.data.atoms import bulk
+from uf3_tpu.ops import neighbors as nb
+from uf3_tpu.ops import pallas_trio as pt
+from uf3_tpu.ops import potential as pot
+from uf3_tpu.regression import least_squares as ls
+
+
+@pytest.fixture(scope="module")
+def w_model():
+    return ls.WeightedLinearModel.from_json(
+        os.path.join("benchmarks_data", "model_2and3.json"))
+
+
+@pytest.fixture(scope="module")
+def w_setup(w_model):
+    geom = bulk("W", "bcc", a=3.1652) * 4
+    geom.rattle(0.05, seed=11)
+    params = pot.params_from_model(w_model, dtype=jnp.float64)
+    pos = jnp.asarray(geom.positions)
+    cell = jnp.asarray(geom.cell)
+    species = params.z_to_species[jnp.asarray(geom.numbers)]
+    nbr2 = nb.build_neighbor_list(pos, cell, geom.pbc,
+                                  float(params.r_cut_2b), 64,
+                                  with_rev=False)
+    nbr3 = nb.build_neighbor_list(pos, cell, geom.pbc,
+                                  float(params.r_cut_3b), 24)
+    e_ref, f_ref, _ = pot.compute_energy_forces(
+        params, species, pos, cell, nbr2, nbr3)
+    return geom, params, pos, cell, nbr2, nbr3, e_ref, f_ref
+
+
+class TestPairKernels:
+    def _pair_only_ref(self, w_setup):
+        geom, params, pos, cell, nbr2, _, _, _ = w_setup
+        species = params.z_to_species[jnp.asarray(geom.numbers)]
+        e, f, _ = pot.compute_energy_forces(params, species, pos, cell,
+                                            nbr2, None)
+        e1 = float(jnp.sum(params.offsets_1b[species]))
+        return float(e) - e1, np.asarray(f)
+
+    def test_unrolled_matches_factorized(self, w_model, w_setup):
+        geom, params, pos, cell, nbr2, _, _, _ = w_setup
+        e_ref, f_ref = self._pair_only_ref(w_setup)
+        spec, coeff = pt.build_pair_fast(w_model, dtype=jnp.float64)
+        e, f = pt.pair_forces_unrolled(coeff, pos, cell, nbr2.idx,
+                                       nbr2.shift, nbr2.mask,
+                                       spec=spec, n_basis=spec.n_basis)
+        assert np.isclose(float(e), e_ref, atol=1e-10)
+        assert np.allclose(np.asarray(f), f_ref, atol=1e-10)
+
+    def test_poly_matches_factorized(self, w_model, w_setup):
+        geom, params, pos, cell, nbr2, _, _, _ = w_setup
+        e_ref, f_ref = self._pair_only_ref(w_setup)
+        spec, table = pt.build_pair_poly(w_model, dtype=jnp.float64)
+        e, f = pt.pair_forces_poly(table, pos, cell, nbr2.idx,
+                                   nbr2.shift, nbr2.mask, spec=spec)
+        assert np.isclose(float(e), e_ref, atol=1e-9)
+        assert np.allclose(np.asarray(f), f_ref, atol=1e-9)
+        # forces-only variant elides the energy chain
+        e0, f0 = pt.pair_forces_poly(table, pos, cell, nbr2.idx,
+                                     nbr2.shift, nbr2.mask, spec=spec,
+                                     with_energy=False)
+        assert float(e0) == 0.0
+        assert np.allclose(np.asarray(f0), f_ref, atol=1e-9)
+
+
+class TestTrioKernel:
+    def test_unrolled_matches_factorized(self, w_model, w_setup):
+        geom, params, pos, cell, nbr2, nbr3, e_ref, f_ref = w_setup
+        bundle = pt.build_trio_pallas(w_model, dtype=jnp.float64)
+        spec, coeff = pt.build_pair_fast(w_model, dtype=jnp.float64)
+        e2, f2 = pt.pair_forces_unrolled(coeff, pos, cell, nbr2.idx,
+                                         nbr2.shift, nbr2.mask,
+                                         spec=spec,
+                                         n_basis=spec.n_basis)
+        e3, f3 = pt.trio_forces_unrolled(
+            bundle.grid, pos, cell, nbr3.idx, nbr3.shift, nbr3.mask,
+            nbr3.rev, spec_l=bundle.spec_l, spec_n=bundle.spec_n,
+            l_basis=bundle.l_basis, n_basis=bundle.n_basis,
+            block_atoms=64)
+        species = params.z_to_species[jnp.asarray(geom.numbers)]
+        e1 = float(jnp.sum(params.offsets_1b[species]))
+        assert np.isclose(e1 + float(e2) + float(jnp.sum(e3)),
+                          float(e_ref), atol=1e-9)
+        assert np.allclose(np.asarray(f2 + f3), np.asarray(f_ref),
+                           atol=1e-9)
+
+    def test_pallas_interpret_matches(self, w_model, w_setup):
+        geom, params, pos, cell, nbr2, nbr3, e_ref, f_ref = w_setup
+        bundle = pt.build_trio_pallas(w_model, dtype=jnp.float64)
+        e_u, f_u = pt.trio_forces_unrolled(
+            bundle.grid, pos, cell, nbr3.idx, nbr3.shift, nbr3.mask,
+            nbr3.rev, spec_l=bundle.spec_l, spec_n=bundle.spec_n,
+            l_basis=bundle.l_basis, n_basis=bundle.n_basis,
+            block_atoms=64)
+        e_p, f_p = pt.trio_forces_pallas(
+            bundle.grid, pos, cell, nbr3.idx, nbr3.shift, nbr3.mask,
+            nbr3.rev, spec_l=bundle.spec_l, spec_n=bundle.spec_n,
+            l_basis=bundle.l_basis, n_basis=bundle.n_basis,
+            block_atoms=8, interpret=True)
+        assert np.allclose(np.asarray(e_p), np.asarray(e_u), atol=1e-10)
+        assert np.allclose(np.asarray(f_p), np.asarray(f_u), atol=1e-10)

@@ -52,6 +52,7 @@ class MDSystem:
         from uf3_tpu.ops import pallas_trio as pt
         self.trio_bundle = pt.build_trio_pallas(model, dtype=dtype)
         self.pair_fast = pt.build_pair_fast(model, dtype=dtype)
+        self.pair_poly = pt.build_pair_poly(model, dtype=dtype)
         self.dtype = dtype
         self.skin = float(skin)
         self.rebuild_every = int(rebuild_every)

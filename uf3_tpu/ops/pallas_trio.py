@@ -301,6 +301,76 @@ def pair_forces_unrolled(coefficients,
     return energy, forces
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "with_energy"))
+def pair_forces_poly(poly_table,
+                     positions, cell, nbr_idx, nbr_shift, nbr_mask,
+                     spec: LegSpec = None,
+                     with_energy: bool = True):
+    """
+    Single-pair-type 2-body energy + forces via per-interval cubic
+    polynomials: V(r) restricted to one knot interval is an exact cubic
+    (any knot strategy), so instead of the 4-tap de Boor recursion +
+    per-basis coefficient selection we do one closed-form interval
+    lookup and a one-hot matmul against a tiny (n_int, 9) table packing
+    [t_lo, inv_h, e0..e3, f0..f2] (f = dV/dr Horner coefficients).
+
+    Same result as pair_forces_unrolled to ~1e-7 relative (the table is
+    built in f64); ~4x fewer VPU ops.  Returns (energy_sum, forces).
+    """
+    n_int = poly_table.shape[0]
+    d = (positions[nbr_idx] + nbr_shift @ cell
+         - positions[:, None, :])
+    r2 = jnp.sum(d * d, axis=-1)
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    valid_f = (nbr_mask.astype(d.dtype)
+               * (r > spec.t_min).astype(d.dtype)
+               * (r < spec.t_max).astype(d.dtype))
+    idx = _leg_interval(spec, r)
+    one_hot = (idx[..., None]
+               == jax.lax.broadcasted_iota(jnp.int32,
+                                           idx.shape + (n_int,),
+                                           idx.ndim)).astype(d.dtype)
+    # HIGHEST precision: the default TPU matmul rounds f32 inputs to
+    # bf16, which loses ~0.4% of the table values (0.05 eV/A on the
+    # steep wall).  The matmul is tiny, 3-pass f32 is free here.
+    rows = jnp.dot(one_hot.reshape(-1, n_int), poly_table,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=d.dtype).reshape(
+                       idx.shape + (poly_table.shape[1],))
+    u = (r - rows[..., 0]) * rows[..., 1]
+    dv = ((rows[..., 8] * u + rows[..., 7]) * u + rows[..., 6]) * valid_f
+    if with_energy:
+        v = (((rows[..., 5] * u + rows[..., 4]) * u
+              + rows[..., 3]) * u + rows[..., 2])
+        energy = jnp.sum(v * valid_f)
+    else:
+        energy = jnp.zeros((), dtype=d.dtype)
+    unit = d / r[..., None]
+    forces = 2.0 * jnp.sum(dv[..., None] * unit, axis=1)
+    return energy, forces
+
+
+def build_pair_poly(model, dtype=jnp.float32):
+    """(LegSpec, (n_int, 9) table) for pair_forces_poly, or None."""
+    from uf3_tpu.ops.spline_jax import build_pair_tables
+    config = model.bspline_config
+    pairs = config.interactions_map[2]
+    if len(pairs) != 1:
+        return None
+    pair = pairs[0]
+    seq = np.asarray(config.knots_map[pair], dtype=np.float64)
+    ok, spec = leg_spec_from_knots(seq)
+    if not ok:
+        return None
+    sizes, offsets = config.get_interaction_partitions()
+    coefficients = model.coefficients[offsets[pair]:offsets[pair]
+                                      + sizes[pair]]
+    poly_e, poly_f, breaks = build_pair_tables(seq, coefficients)
+    table = np.concatenate([breaks, poly_e, poly_f[:, :3]], axis=1)
+    return spec, jnp.asarray(table, dtype=dtype)
+
+
 def build_pair_fast(model, dtype=jnp.float32):
     """(LegSpec, coefficients) for the closed-form pair path, or None
     (multi-pair-type / non-closed-form knots)."""
