@@ -140,6 +140,51 @@ class TestMD:
         assert not bool(state.stale)
         assert abs(e1 - e0) / len(geom) < 1e-4  # eV/atom drift
 
+    def test_two_tier_skin_forces_stay_exact(self):
+        """Two-tier rebuilds (big 2B skin + cheap 3B refilter): forces
+        along a hot trajectory must keep matching the exact host
+        calculator (the refiltered 3B list never drops a triplet)."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        two = MDSystem(model, geom, dtype=jnp.float64,
+                       rebuild_every=4, skin=0.6, skin_2b=1.8)
+        assert two.two_tier
+        assert two._images_2b is not None  # small cell: explicit images
+        calc = UFCalculator(model)
+        state = two.init_state(temperature=900.0, seed=5)
+        e0 = float(state.energy) + two.kinetic_energy(state)
+        # hot NVE in short chunks so 3B refilters actually trigger
+        for _ in range(12):
+            state = two.run(state, n_steps=5, dt_fs=2.0)
+        assert not bool(state.nbr2.overflow)
+        snapshot = Atoms(numbers=geom.numbers,
+                         positions=np.asarray(state.positions),
+                         cell=geom.cell, pbc=True)
+        f_calc = calc.get_forces(snapshot)
+        assert np.allclose(np.asarray(state.forces), f_calc, atol=1e-9)
+        assert np.isclose(float(state.energy),
+                          calc.get_potential_energy(snapshot), atol=1e-9)
+        e1 = float(state.energy) + two.kinetic_energy(state)
+        assert abs(e1 - e0) / len(geom) < 2e-4  # NVE drift, eV/atom
+
+    def test_small_cell_images_match_calculator(self):
+        """MD on a cell smaller than 2 * cutoff must agree with the
+        host ghost-supercell oracle (explicit-image neighbor list,
+        including self-image pairs)."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 2  # 6.33 A box, r_cut 5.5
+        geom.rattle(0.05, seed=9)
+        system = MDSystem(model, geom, dtype=jnp.float64, skin=0.4)
+        assert system._images_2b is not None
+        state = system.init_state()
+        calc = UFCalculator(model)
+        assert np.allclose(np.asarray(state.forces),
+                           calc.get_forces(geom), atol=1e-9)
+        assert np.isclose(float(state.energy),
+                          calc.get_potential_energy(geom), atol=1e-9)
+
     def test_langevin_thermostat(self):
         model = ls.WeightedLinearModel.from_json(
             os.path.join("benchmarks_data", "model_2and3.json"))

@@ -47,6 +47,7 @@ class MDSystem:
                  capacity_2b: int = None,
                  capacity_3b: int = None,
                  skin: float = 0.5,
+                 skin_2b: float = None,
                  rebuild_every: int = 20):
         self.params, self.static = pot.build_potential(model, dtype=dtype)
         from uf3_tpu.ops import pallas_trio as pt
@@ -55,10 +56,19 @@ class MDSystem:
         self.pair_poly = pt.build_pair_poly(model, dtype=dtype)
         self.dtype = dtype
         self.skin = float(skin)
+        # two-tier skins: a larger 2-body skin makes the expensive
+        # O(N^2)/cell-list rebuild rare, while the (binding) 3-body
+        # list is cheaply re-filtered from the still-valid 2-body list
+        # whenever half of the smaller 3-body skin is consumed
+        self.skin_2b = float(skin_2b) if skin_2b is not None \
+            else self.skin
         self.rebuild_every = int(rebuild_every)
         self.degree = model.bspline_config.degree
         self.r_cut_2b = float(self.params.r_cut_2b)
         self.r_cut_3b = float(self.params.r_cut_3b)
+        self.two_tier = (self.skin_2b > self.skin
+                         and self.degree > 2
+                         and self.r_cut_3b <= self.r_cut_2b)
         numbers = atoms.get_atomic_numbers()
         self.species = jnp.asarray(
             np.asarray(self.params.z_to_species)[numbers])
@@ -70,17 +80,27 @@ class MDSystem:
         n_atoms = len(atoms)
         volume = self.volume or 1e6
         self.capacity_2b = capacity_2b or nb.estimate_capacity(
-            n_atoms, volume, self.r_cut_2b + self.skin)
+            n_atoms, volume, self.r_cut_2b + self.skin_2b)
         if self.degree > 2:
             self.capacity_3b = capacity_3b or nb.estimate_capacity(
                 n_atoms, volume, self.r_cut_3b + self.skin)
         else:
             self.capacity_3b = 0
         self._positions0 = jnp.asarray(atoms.get_positions(), dtype=dtype)
+        # small periodic cells (width < 2 * cutoff): the minimum-image
+        # builder would silently drop pairs, so scan explicit images
+        if np.any(atoms.get_pbc()):
+            req = nb.images_required(atoms.get_cell(), self.pbc,
+                                     self.r_cut_2b + self.skin_2b)
+            self._images_2b = None if max(req) == 0 else tuple(
+                max(1, r) if p else 0 for r, p in zip(req, self.pbc))
+        else:
+            self._images_2b = None
         # cell-list geometry (static): used when the box is large
         # enough that O(N) binning beats the O(N^2) scan
         self._cells_2b = self._cell_list_setup(atoms,
-                                               self.r_cut_2b + self.skin)
+                                               self.r_cut_2b
+                                               + self.skin_2b)
         self._cells_3b = self._cell_list_setup(atoms,
                                                self.r_cut_3b + self.skin) \
             if self.degree > 2 else None
@@ -110,13 +130,17 @@ class MDSystem:
             return nb.build_neighbor_list_cells(
                 positions, cell, self.pbc, r_cut, capacity,
                 grid_shape, bin_capacity, topology, with_rev=with_rev)
+        if self._images_2b is not None:
+            return nb.build_neighbor_list_images(
+                positions, cell, self.pbc, r_cut, capacity,
+                images=self._images_2b, with_rev=with_rev)
         return nb.build_neighbor_list(positions, cell, self.pbc, r_cut,
                                       capacity, with_rev=with_rev)
 
     def build_lists(self, positions, cell=None):
         cell = self.cell if cell is None else cell
         nbr2 = self._build_one(positions, cell,
-                               self.r_cut_2b + self.skin,
+                               self.r_cut_2b + self.skin_2b,
                                self.capacity_2b, self._cells_2b)
         nbr3 = None
         if self.degree > 2:
@@ -224,7 +248,10 @@ class MDSystem:
             q = dof * units.kB * temperature * tau ** 2
             xi = xi + dt * (2.0 * ke - dof * units.kB * temperature) / q
             v = v * jnp.exp(-xi * dt)
-        stale = state.stale | nb.needs_rebuild(state.nbr2, x, self.skin)
+        stale = state.stale | nb.needs_rebuild(state.nbr2, x,
+                                               self.skin_2b)
+        if self.two_tier:
+            stale = stale | nb.needs_rebuild(state.nbr3, x, self.skin)
         return MDState(positions=x, velocities=v, forces=forces,
                        energy=energy, nbr2=state.nbr2, nbr3=state.nbr3,
                        key=key, xi=xi, stale=stale, cell=state.cell)
@@ -257,8 +284,22 @@ class MDSystem:
             return s._replace(nbr2=nbr2, nbr3=nbr3)
 
         trigger = nb.needs_rebuild(state.nbr2, state.positions,
-                                   0.5 * self.skin)
+                                   0.5 * self.skin_2b)
         state = jax.lax.cond(trigger, do_rebuild, lambda s: s, state)
+        if self.two_tier:
+            # the 3-body skin is the tight one: re-filter its list from
+            # the (still valid) 2-body candidates -- O(N*K2), not O(N^2)
+            def do_refilter(s):
+                nbr3 = nb.filter_neighbor_list(
+                    s.nbr2, s.positions, s.cell,
+                    self.r_cut_3b + self.skin, self.capacity_3b,
+                    reference_positions=s.positions)
+                return s._replace(nbr3=nbr3)
+
+            trigger3 = nb.needs_rebuild(state.nbr3, state.positions,
+                                        0.5 * self.skin)
+            state = jax.lax.cond(trigger3, do_refilter,
+                                 lambda s: s, state)
         state = state._replace(stale=jnp.zeros((), dtype=bool))
         # forces-only inner steps; the chunk's last step also computes
         # the potential energy for state bookkeeping

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from uf3_tpu.ops.neighbors import cell_transform
+
 from uf3_tpu.ops.pallas_trio import LegSpec, _dense_basis
 
 
@@ -74,7 +76,7 @@ def featurize_device(spec: FeaturizeSpec,
     """
     n_atoms = positions.shape[0]
     # ---- 2-body -----------------------------------------------------------
-    d2v = (positions[nbr_idx] + nbr_shift @ cell
+    d2v = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
            - positions[:, None, :])
     r2sq = jnp.sum(d2v * d2v, axis=-1)
     r2 = jnp.sqrt(jnp.where(r2sq > 0, r2sq, 1.0))
@@ -89,7 +91,7 @@ def featurize_device(spec: FeaturizeSpec,
 
     # ---- 3-body -----------------------------------------------------------
     k3 = nbr3_idx.shape[1]
-    d = (positions[nbr3_idx] + nbr3_shift @ cell
+    d = (positions[nbr3_idx] + cell_transform(nbr3_shift, cell)
          - positions[:, None, :])
     rsq = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(rsq > 0, rsq, 1.0))

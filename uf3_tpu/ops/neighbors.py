@@ -26,9 +26,19 @@ class NeighborList(NamedTuple):
     reference_positions: jnp.ndarray  # (N, 3) positions at build time
 
 
+def cell_transform(vecs, cell):
+    """``vecs @ cell`` decomposed into elementwise mul-adds.  The TPU
+    MXU rounds f32 matmul inputs to bf16 (~2^-8 relative), which on
+    cell vectors is a ~0.05 A displacement error -- fatal for forces.
+    Three VPU mul-adds keep full working precision at no MXU cost."""
+    return (vecs[..., 0:1] * cell[0] + vecs[..., 1:2] * cell[1]
+            + vecs[..., 2:3] * cell[2])
+
+
 def displacements(positions, cell, idx, shift):
     """d[i, k] = R_idx[i,k] + shift[i,k] @ cell - R_i."""
-    return positions[idx] + shift @ cell - positions[:, None, :]
+    return (positions[idx] + cell_transform(shift, cell)
+            - positions[:, None, :])
 
 
 def build_neighbor_list(positions: jnp.ndarray,
@@ -46,7 +56,7 @@ def build_neighbor_list(positions: jnp.ndarray,
     capacity = min(capacity, n_atoms)
     pbc_vec = jnp.asarray(pbc, dtype=positions.dtype).reshape(3)
     # callers pass an invertible cell (use a bounding box for molecules)
-    frac = positions @ jnp.linalg.inv(cell)
+    frac = cell_transform(positions, jnp.linalg.inv(cell))
     r_cut2 = jnp.asarray(r_cut * r_cut, dtype=positions.dtype)
 
     n_blocks = -(-n_atoms // block_size)
@@ -57,7 +67,7 @@ def build_neighbor_list(positions: jnp.ndarray,
         # block_frac: (B, 3)
         diff = frac[None, :, :] - block_frac[:, None, :]  # (B, N, 3)
         img = -jnp.round(diff) * pbc_vec
-        disp = (diff + img) @ cell
+        disp = cell_transform(diff + img, cell)
         d2 = jnp.sum(disp * disp, axis=-1)
         within = (d2 < r_cut2) & (d2 > 1e-12)
         count = jnp.sum(within, axis=1)
@@ -85,12 +95,98 @@ def build_neighbor_list(positions: jnp.ndarray,
                         reference_positions=positions)
 
 
+def build_neighbor_list_images(positions: jnp.ndarray,
+                               cell: jnp.ndarray,
+                               pbc,
+                               r_cut: float,
+                               capacity: int,
+                               images: Tuple[int, int, int] = (1, 1, 1),
+                               block_size: int = 512,
+                               with_rev: bool = True) -> NeighborList:
+    """
+    O(N^2 * M) neighbor search with an explicit static image range --
+    exact for small periodic cells where the cutoff exceeds half the
+    cell width (including self-image pairs), where the minimum-image
+    builder would silently drop pairs.  ``images[i]`` is the number of
+    periodic copies scanned per direction along axis i.
+    """
+    n_atoms = positions.shape[0]
+    ni = [int(images[i]) if pbc[i] else 0 for i in range(3)]
+    grid = np.stack(np.meshgrid(
+        np.arange(-ni[0], ni[0] + 1), np.arange(-ni[1], ni[1] + 1),
+        np.arange(-ni[2], ni[2] + 1), indexing="ij"),
+        axis=-1).reshape(-1, 3)
+    shifts = jnp.asarray(grid, dtype=positions.dtype)  # (M, 3)
+    n_images = shifts.shape[0]
+    capacity = min(capacity, n_atoms * n_images)
+    r_cut2 = jnp.asarray(r_cut * r_cut, dtype=positions.dtype)
+    # explicit image copies: candidate c = j * M + m at R_j + S_m @ cell
+    pos_ext = (positions[:, None, :]
+               + cell_transform(shifts, cell)[None, :, :]).reshape(-1, 3)
+
+    n_blocks = -(-n_atoms // block_size)
+    pad = n_blocks * block_size - n_atoms
+    pos_padded = jnp.pad(positions, ((0, pad), (0, 0)))
+
+    def process_block(block_pos):
+        diff = pos_ext[None, :, :] - block_pos[:, None, :]  # (B, NM, 3)
+        d2 = jnp.sum(diff * diff, axis=-1)
+        within = (d2 < r_cut2) & (d2 > 1e-12)
+        count = jnp.sum(within, axis=1)
+        key = jnp.where(within, -d2, jnp.inf)
+        neg, cand = jax.lax.top_k(-key, capacity)
+        mask = neg > -jnp.inf
+        idx = cand // n_images
+        shift = shifts[cand % n_images]
+        return idx, shift, mask, count
+
+    blocks = pos_padded.reshape(n_blocks, block_size, 3)
+    idx_b, shift_b, mask_b, count_b = jax.lax.map(process_block, blocks)
+    idx = idx_b.reshape(-1, capacity)[:n_atoms].astype(jnp.int32)
+    shift = shift_b.reshape(-1, capacity, 3)[:n_atoms]
+    mask = mask_b.reshape(-1, capacity)[:n_atoms]
+    count = count_b.reshape(-1)[:n_atoms]
+    overflow = jnp.any(count > capacity)
+    self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
+    idx = jnp.where(mask, idx, self_idx)
+    shift = jnp.where(mask[:, :, None], shift, 0.0)
+    rev = _reverse_slots(idx, shift, mask) if with_rev \
+        else jnp.zeros_like(idx)
+    return NeighborList(idx=idx, shift=shift, mask=mask, rev=rev,
+                        overflow=overflow,
+                        reference_positions=positions)
+
+
+def images_required(cell, pbc, r_cut: float) -> Tuple[int, int, int]:
+    """Periodic image copies per axis needed for an exact neighbor
+    search at ``r_cut``: 0 means the minimum-image convention is valid
+    (perpendicular cell width >= 2 * r_cut)."""
+    cell = np.asarray(cell, dtype=np.float64)
+    volume = abs(np.linalg.det(cell))
+    out = []
+    for i in range(3):
+        if not pbc[i]:
+            out.append(0)
+            continue
+        area = np.linalg.norm(np.cross(cell[(i + 1) % 3],
+                                       cell[(i + 2) % 3]))
+        width = volume / area
+        out.append(0 if width >= 2.0 * r_cut
+                   else int(np.ceil(r_cut / width)))
+    return tuple(out)
+
+
 def filter_neighbor_list(nbr: NeighborList, positions, cell,
                          r_cut: float, capacity: int,
-                         with_rev: bool = True) -> NeighborList:
+                         with_rev: bool = True,
+                         reference_positions=None) -> NeighborList:
     """Derive a smaller-cutoff list from an existing one (the 3-body
     list is a subset of the 2-body list): per-row top-k over the parent
-    capacity instead of a fresh O(N^2) or cell search."""
+    capacity instead of a fresh O(N^2) or cell search.
+
+    ``reference_positions`` overrides the staleness reference of the
+    derived list (pass the current positions when re-filtering mid-run
+    with a fresher snapshot than the parent's build positions)."""
     n_atoms = nbr.idx.shape[0]
     d = displacements(positions, cell, nbr.idx, nbr.shift)
     d2 = jnp.sum(d * d, axis=-1)
@@ -107,9 +203,11 @@ def filter_neighbor_list(nbr: NeighborList, positions, cell,
     shift = jnp.where(mask[:, :, None], shift, 0.0)
     rev = _reverse_slots(idx, shift, mask) if with_rev \
         else jnp.zeros_like(idx)
+    if reference_positions is None:
+        reference_positions = nbr.reference_positions
     return NeighborList(idx=idx, shift=shift, mask=mask, rev=rev,
                         overflow=overflow,
-                        reference_positions=nbr.reference_positions)
+                        reference_positions=reference_positions)
 
 
 def _reverse_slots(idx, shift, mask):
@@ -209,7 +307,7 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
         topology = bin_topology(grid_shape, pbc)
     nbr_bins, nbr_shifts, nbr_valid = (jnp.asarray(t) for t in topology)
     pbc_vec = jnp.asarray(pbc, dtype=positions.dtype).reshape(3)
-    frac = positions @ jnp.linalg.inv(cell)
+    frac = cell_transform(positions, jnp.linalg.inv(cell))
     # wrap periodic directions; base shift restores original positions
     frac_wrapped = jnp.where(pbc_vec > 0, frac % 1.0, frac)
     base_shift = frac - frac_wrapped  # integer image of each atom
@@ -230,7 +328,7 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
                           n_atoms - 1)
     bin_atoms = order[gather_idx]                      # (B, cap_b)
     bin_mask = slot[None, :] < counts[:, None]         # (B, cap_b)
-    wrapped_pos = frac_wrapped @ cell
+    wrapped_pos = cell_transform(frac_wrapped, cell)
     bin_pos = jnp.take(wrapped_pos, bin_atoms.reshape(-1),
                        axis=0).reshape(n_bins, cap_b, 3)
     # candidates per bin: atoms of the 27 neighbor bins (+ image shift)
@@ -241,7 +339,7 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
                  & nbr_valid[:, :, None]).reshape(n_bins, 27 * cap_b)
     cand_pos = (jnp.take(bin_pos, nbr_bins.reshape(-1), axis=0)
                 .reshape(n_bins, 27, cap_b, 3)
-                + (nbr_shifts[:, :, None, :] @ cell)
+                + cell_transform(nbr_shifts, cell)[:, :, None, :]
                 ).reshape(n_bins, 27 * cap_b, 3)
     cand_shift = jnp.broadcast_to(nbr_shifts[:, :, None, :],
                                   (n_bins, 27, cap_b, 3)

@@ -25,10 +25,17 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from uf3_tpu.ops.neighbors import cell_transform
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LINEAR, LAMMPS, GEOMETRIC, INVERSE = 0, 1, 2, 3
+
+# Matmul precision for the grid contractions.  TPU default rounds f32
+# matmul inputs to bf16 (~2^-8 relative); HIGHEST keeps full f32 via
+# multi-pass at a small MXU cost.  None = backend default.
+MATMUL_PRECISION = None
 
 
 class LegSpec(NamedTuple):
@@ -199,9 +206,11 @@ def _trio_block_compute(d, valid, grid,
     dc_pair = dc_mat.reshape(ba, k * k, nc)
     g_flat = grid  # pre-flattened (L, M*NC) by the caller
     h = jnp.dot(a_mat.reshape(ba * k, l_dim), g_flat,
+                precision=MATMUL_PRECISION,
                 preferred_element_type=d.dtype).reshape(ba, k, l_dim,
                                                         nc)
     h1 = jnp.dot(da_mat.reshape(ba * k, l_dim), g_flat,
+                 precision=MATMUL_PRECISION,
                  preferred_element_type=d.dtype).reshape(ba, k, l_dim,
                                                          nc)
     # accumulate T[m, n] = sum_bc B[n, b] C[mn, c] H[m, b, c] on the
@@ -239,6 +248,7 @@ def _trio_block_compute(d, valid, grid,
     g3p = (t3 / r_mn.reshape(ba, k * k)).reshape(ba, k, k)
     s3 = jnp.sum(g3p, axis=2)
     v3 = jax.lax.dot_general(g3p, d, (((2,), (1,)), ((0,), (0,))),
+                             precision=MATMUL_PRECISION,
                              preferred_element_type=d.dtype)
     return energy, f_center, w_m, s3, v3
 
@@ -275,7 +285,7 @@ def pair_forces_unrolled(coefficients,
 
     Returns (energy_sum, forces (N, 3)).
     """
-    d = (positions[nbr_idx] + nbr_shift @ cell
+    d = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
          - positions[:, None, :])
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
@@ -319,7 +329,7 @@ def pair_forces_poly(poly_table,
     built in f64); ~4x fewer VPU ops.  Returns (energy_sum, forces).
     """
     n_int = poly_table.shape[0]
-    d = (positions[nbr_idx] + nbr_shift @ cell
+    d = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
          - positions[:, None, :])
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
@@ -443,7 +453,7 @@ def trio_forces_pallas(grid,
     bundle = TrioPallas(spec_l=spec_l, spec_n=spec_n, grid=grid,
                         l_basis=l_basis, n_basis=n_basis)
     n_atoms, capacity = nbr_idx.shape
-    d = (positions[nbr_idx] + nbr_shift @ cell
+    d = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
          - positions[:, None, :])
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
@@ -529,7 +539,7 @@ def trio_forces_unrolled(grid,
     (MD inner steps need forces only).
     """
     n_atoms, capacity = nbr_idx.shape
-    d = (positions[nbr_idx] + nbr_shift @ cell
+    d = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
          - positions[:, None, :])
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))

@@ -17,6 +17,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from uf3_tpu.ops.neighbors import cell_transform
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -175,7 +177,7 @@ def trio_forces_pallas_t(grid,
     """Fused 3-body energy + forces via the atom-minor Pallas kernel."""
     from uf3_tpu.ops.pallas_trio import _assemble_forces
     n_atoms, capacity = nbr_idx.shape
-    d = (positions[nbr_idx] + nbr_shift @ cell
+    d = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
          - positions[:, None, :])
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
