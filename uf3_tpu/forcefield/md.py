@@ -271,11 +271,6 @@ class MDSystem:
         tau = tau_fs * units.fs
         friction = friction_ps / units.ps
 
-        def fast_step(s, _):
-            return self._verlet_step(
-                s, dt, thermostat=thermostat, temperature=temperature,
-                tau=tau, friction=friction, with_energy=False), None
-
         # adaptive rebuild: refresh the lists only when atoms have used
         # up half of the skin margin (the other half covers this
         # chunk's drift); lax.cond keeps it device-side
@@ -301,11 +296,35 @@ class MDSystem:
             state = jax.lax.cond(trigger3, do_refilter,
                                  lambda s: s, state)
         state = state._replace(stale=jnp.zeros((), dtype=bool))
+        # the neighbor lists and cell are invariant for the rest of the
+        # chunk: close over them instead of threading them through the
+        # scan carry (XLA copies carried buffers every iteration, which
+        # at 10k atoms costs more than the force evaluation itself)
+        nbr2, nbr3, cell = state.nbr2, state.nbr3, state.cell
+        energy0 = state.energy
+
+        def fast_step(carry, _):
+            x, v, f, key, xi, stale_c = carry
+            s = MDState(positions=x, velocities=v, forces=f,
+                        energy=energy0, nbr2=nbr2, nbr3=nbr3, key=key,
+                        xi=xi, stale=stale_c, cell=cell)
+            s = self._verlet_step(
+                s, dt, thermostat=thermostat, temperature=temperature,
+                tau=tau, friction=friction, with_energy=False)
+            return (s.positions, s.velocities, s.forces, s.key, s.xi,
+                    s.stale), None
+
         # forces-only inner steps; the chunk's last step also computes
         # the potential energy for state bookkeeping
         if n_steps > 1:
-            state, _ = jax.lax.scan(fast_step, state, None,
+            carry = (state.positions, state.velocities, state.forces,
+                     state.key, state.xi, state.stale)
+            carry, _ = jax.lax.scan(fast_step, carry, None,
                                     length=n_steps - 1)
+            x, v, f, key, xi, stale_c = carry
+            state = MDState(positions=x, velocities=v, forces=f,
+                            energy=energy0, nbr2=nbr2, nbr3=nbr3,
+                            key=key, xi=xi, stale=stale_c, cell=cell)
         state = self._verlet_step(
             state, dt, thermostat=thermostat, temperature=temperature,
             tau=tau, friction=friction, with_energy=True)

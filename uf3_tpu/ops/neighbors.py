@@ -191,13 +191,24 @@ def filter_neighbor_list(nbr: NeighborList, positions, cell,
     d = displacements(positions, cell, nbr.idx, nbr.shift)
     d2 = jnp.sum(d * d, axis=-1)
     within = nbr.mask & (d2 < r_cut * r_cut)
-    overflow = nbr.overflow | jnp.any(
-        jnp.sum(within, axis=1) > capacity)
-    key = jnp.where(within, -d2, jnp.inf)
-    neg, sel = jax.lax.top_k(-key, capacity)
-    mask = neg > -jnp.inf
-    idx = jnp.take_along_axis(nbr.idx, sel, axis=1)
-    shift = jnp.take_along_axis(nbr.shift, sel[..., None], axis=1)
+    count = jnp.sum(within, axis=1)
+    overflow = nbr.overflow | jnp.any(count > capacity)
+    # order-preserving prefix-sum pack (integer one-hot contraction):
+    # much cheaper than a per-row top_k sort, and exact -- all
+    # arithmetic is int32 on the VPU (no MXU bf16 rounding)
+    slot = jnp.cumsum(within.astype(jnp.int32), axis=1) - 1
+    onehot = (within[:, :, None]
+              & (slot[:, :, None]
+                 == jnp.arange(capacity, dtype=jnp.int32)[None, None, :])
+              ).astype(jnp.int32)                      # (N, P, C)
+    idx = jnp.sum(onehot * nbr.idx[:, :, None], axis=1)
+    # the three integer shift components ride one contraction each
+    shift_i = nbr.shift.astype(jnp.int32)
+    shift = jnp.stack(
+        [jnp.sum(onehot * shift_i[:, :, c][:, :, None], axis=1)
+         for c in range(3)], axis=-1).astype(positions.dtype)
+    mask = (jnp.arange(capacity, dtype=jnp.int32)[None, :]
+            < count[:, None])
     self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
     idx = jnp.where(mask, idx, self_idx)
     shift = jnp.where(mask[:, :, None], shift, 0.0)
