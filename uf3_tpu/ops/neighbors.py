@@ -129,8 +129,12 @@ def build_neighbor_list_images(positions: jnp.ndarray,
     pos_padded = jnp.pad(positions, ((0, pad), (0, 0)))
 
     def process_block(block_pos):
-        diff = pos_ext[None, :, :] - block_pos[:, None, :]  # (B, NM, 3)
-        d2 = jnp.sum(diff * diff, axis=-1)
+        # per-component (B, NM) arithmetic (atom axis on lanes)
+        d2 = jnp.zeros((block_pos.shape[0], pos_ext.shape[0]),
+                       dtype=positions.dtype)
+        for c in range(3):
+            dc = pos_ext[:, c][None, :] - block_pos[:, c][:, None]
+            d2 = d2 + dc * dc
         within = (d2 < r_cut2) & (d2 > 1e-12)
         count = jnp.sum(within, axis=1)
         key = jnp.where(within, -d2, jnp.inf)
@@ -188,8 +192,18 @@ def filter_neighbor_list(nbr: NeighborList, positions, cell,
     derived list (pass the current positions when re-filtering mid-run
     with a fresher snapshot than the parent's build positions)."""
     n_atoms = nbr.idx.shape[0]
-    d = displacements(positions, cell, nbr.idx, nbr.shift)
-    d2 = jnp.sum(d * d, axis=-1)
+    # one row gather, then per-component (N, P) arithmetic (atom axis
+    # on lanes; scalar-element gathers per component are ~3x slower)
+    pj = jnp.take(positions, nbr.idx.reshape(-1),
+                  axis=0).reshape(nbr.idx.shape + (3,))
+    d2 = jnp.zeros(nbr.idx.shape, dtype=positions.dtype)
+    for k in range(3):
+        dk = (pj[..., k]
+              + nbr.shift[..., 0] * cell[0, k]
+              + nbr.shift[..., 1] * cell[1, k]
+              + nbr.shift[..., 2] * cell[2, k]
+              - positions[:, k][:, None])
+        d2 = d2 + dk * dk
     within = nbr.mask & (d2 < r_cut * r_cut)
     count = jnp.sum(within, axis=1)
     overflow = nbr.overflow | jnp.any(count > capacity)

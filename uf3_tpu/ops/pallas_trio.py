@@ -195,15 +195,20 @@ def _trio_block_compute(d, valid, grid,
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
     a_mat, da_mat = _dense_basis(r, valid_f, spec_l)    # (BA, K, L)
-    d_mn = d[:, None, :, :] - d[:, :, None, :]          # (BA, K, K, 3)
-    r_mn2 = jnp.sum(d_mn * d_mn, axis=-1)
-    r_mn = jnp.sqrt(jnp.where(r_mn2 > 0, r_mn2, 1.0))
-    pair_valid = (valid_f[:, :, None] * valid_f[:, None, :]
+    # neighbor-neighbor legs per component directly on the K*K pair
+    # lane axis (p = m*K + n: value d[n] - d[m]); a (BA, K, K, 3)
+    # difference tensor would put the trailing 3 on vector lanes and
+    # waste 125/128 of the VPU
+    r_mn2 = jnp.zeros((ba, k * k), dtype=d.dtype)
+    for c in range(3):
+        dc = d[..., c]                                   # (BA, K)
+        diff_c = jnp.tile(dc, (1, k)) - jnp.repeat(dc, k, axis=-1)
+        r_mn2 = r_mn2 + diff_c * diff_c
+    r_mn = jnp.sqrt(jnp.where(r_mn2 > 0, r_mn2, 1.0))    # (BA, K*K)
+    pair_valid = (jnp.tile(valid_f, (1, k))
+                  * jnp.repeat(valid_f, k, axis=-1)
                   * (r_mn2 > 1e-10).astype(d.dtype))
-    c_mat, dc_mat = _dense_basis(r_mn, pair_valid, spec_n)
-    # pair-major layout: p = m * K + n
-    c_pair = c_mat.reshape(ba, k * k, nc)
-    dc_pair = dc_mat.reshape(ba, k * k, nc)
+    c_pair, dc_pair = _dense_basis(r_mn, pair_valid, spec_n)
     g_flat = grid  # pre-flattened (L, M*NC) by the caller
     h = jnp.dot(a_mat.reshape(ba * k, l_dim), g_flat,
                 precision=MATMUL_PRECISION,
@@ -245,7 +250,7 @@ def _trio_block_compute(d, valid, grid,
     w_m = jnp.sum(t1_g, axis=2)                          # (BA, K)
     unit = d / r[..., None]
     f_center = jnp.sum(w_m[..., None] * unit, axis=1)
-    g3p = (t3 / r_mn.reshape(ba, k * k)).reshape(ba, k, k)
+    g3p = (t3 / r_mn).reshape(ba, k, k)
     s3 = jnp.sum(g3p, axis=2)
     v3 = jax.lax.dot_general(g3p, d, (((2,), (1,)), ((0,), (0,))),
                              precision=MATMUL_PRECISION,
