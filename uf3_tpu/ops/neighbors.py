@@ -64,17 +64,32 @@ def build_neighbor_list(positions: jnp.ndarray,
     frac_padded = jnp.pad(frac, ((0, pad), (0, 0)))
 
     def process_block(block_frac):
-        # block_frac: (B, 3)
-        diff = frac[None, :, :] - block_frac[:, None, :]  # (B, N, 3)
-        img = -jnp.round(diff) * pbc_vec
-        disp = cell_transform(diff + img, cell)
-        d2 = jnp.sum(disp * disp, axis=-1)
+        # block_frac: (B, 3).  The O(N^2) pass materializes ONLY the
+        # (B, N) squared-distance plane (per-component accumulation in
+        # registers); image shifts are recomputed afterwards for just
+        # the top-k selected pairs -- materializing (B, N, 3) image
+        # planes costs ~5x the whole selection
+        mic = [None] * 3
+        for c in range(3):
+            dc = frac[:, c][None, :] - block_frac[:, c][:, None]
+            mic[c] = dc - jnp.round(dc) * pbc_vec[c]
+        d2 = jnp.zeros_like(mic[0])
+        for k in range(3):
+            dk = (mic[0] * cell[0, k] + mic[1] * cell[1, k]
+                  + mic[2] * cell[2, k])
+            d2 = d2 + dk * dk
         within = (d2 < r_cut2) & (d2 > 1e-12)
         count = jnp.sum(within, axis=1)
         key = jnp.where(within, -d2, jnp.inf)
         neg, idx = jax.lax.top_k(-key, capacity)  # (B, K)
         mask = neg > -jnp.inf
-        shift = jnp.take_along_axis(img, idx[:, :, None], axis=1)
+        # recompute the image shift for the selected pairs only (same
+        # inputs, same rounding op -> bitwise-identical to the full
+        # plane)
+        sel = jnp.take(frac, idx.reshape(-1),
+                       axis=0).reshape(idx.shape + (3,))
+        diff_sel = sel - block_frac[:, None, :]
+        shift = -jnp.round(diff_sel) * pbc_vec
         return idx, shift, mask, count
 
     blocks = frac_padded.reshape(n_blocks, block_size, 3)

@@ -32,10 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 LINEAR, LAMMPS, GEOMETRIC, INVERSE = 0, 1, 2, 3
 
-# Matmul precision for the grid contractions.  TPU default rounds f32
-# matmul inputs to bf16 (~2^-8 relative); HIGHEST keeps full f32 via
-# multi-pass at a small MXU cost.  None = backend default.
-MATMUL_PRECISION = None
+# Matmul precision for the grid contractions.  The TPU backend default
+# rounds f32 matmul inputs to bf16 (~2^-8 relative), which costs ~3e-3
+# eV/A RMS force error vs the f64 oracle.  "high" (bf16_3x) recovers
+# f32-class forces (max error 8.8e-3 -> 5.5e-5 eV/A) at about half the
+# cost of "highest" (full f32, 1.4e-5).  Set to None to trade force
+# fidelity for a few % of MD throughput.
+MATMUL_PRECISION = "high"
 
 
 class LegSpec(NamedTuple):

@@ -63,27 +63,43 @@ def _deboor4_t(r, idx, spec: LegSpec):
     return values, derivs
 
 
-def _basis_slices(r, valid_f, spec: LegSpec):
-    """Per-basis-function value/derivative slices (python lists of
-    arrays shaped like r) -- a dense basis matrix without a trailing
-    basis axis, Mosaic-friendly."""
+def _basis_taps(r, valid_f, spec: LegSpec):
+    """De Boor tap values/derivatives + interval index + range mask:
+    the compact precursor of a dense basis matrix (6 arrays shaped
+    like r instead of 2 * n_basis slices -- keeps the Pallas kernel's
+    VMEM footprint bounded)."""
     idx = _leg_interval(spec, r)
     values, derivs = _deboor4_t(r, idx, spec)
     in_range = (valid_f
                 * (r >= spec.t_min).astype(r.dtype)
                 * (r <= spec.t_max).astype(r.dtype))
+    return values, derivs, idx, in_range
+
+
+def _basis_slice(taps, s):
+    """Value/derivative of basis function ``s`` from _basis_taps."""
+    values, derivs, idx, in_range = taps
+    rel = s - idx
+    val = jnp.zeros_like(in_range)
+    der = jnp.zeros_like(in_range)
+    for tap in range(4):
+        hit = (rel == tap)
+        val = jnp.where(hit, values[tap], val)
+        der = jnp.where(hit, derivs[tap], der)
+    return val * in_range, der * in_range
+
+
+def _basis_slices(r, valid_f, spec: LegSpec):
+    """Per-basis-function value/derivative slices (python lists of
+    arrays shaped like r) -- a dense basis matrix without a trailing
+    basis axis, Mosaic-friendly."""
+    taps = _basis_taps(r, valid_f, spec)
     value_slices = []
     deriv_slices = []
     for s in range(spec.n_basis):
-        rel = s - idx  # tap index of basis s at each point
-        val = jnp.zeros_like(r)
-        der = jnp.zeros_like(r)
-        for tap in range(4):
-            hit = (rel == tap)
-            val = jnp.where(hit, values[tap], val)
-            der = jnp.where(hit, derivs[tap], der)
-        value_slices.append(val * in_range)
-        deriv_slices.append(der * in_range)
+        val, der = _basis_slice(taps, s)
+        value_slices.append(val)
+        deriv_slices.append(der)
     return value_slices, deriv_slices
 
 
@@ -109,7 +125,10 @@ def make_trio_kernel_t(spec_l: LegSpec, spec_n: LegSpec,
         r_mn = jnp.sqrt(jnp.where(r_mn2 > 0, r_mn2, 1.0))
         pair_f = (valid_f[None, :, :] * valid_f[:, None, :]
                   * (r_mn2 > 1e-10).astype(d.dtype))
-        c_vals, c_ders = _basis_slices(r_mn, pair_f, spec_n)
+        # pair-leg basis slices are produced lazily per c inside the
+        # loop nest: keeping all 2 * NC dense (K, K, BA) slices live
+        # blows the 16M VMEM budget
+        c_taps = _basis_taps(r_mn, pair_f, spec_n)
         # H[m, (b, c), atom] = sum_a G[a, (b, c)] A[m, a, atom]:
         # one MXU matmul (L, M*NC)^T @ (L, K*BA)
         ba = d.shape[-1]
@@ -117,32 +136,35 @@ def make_trio_kernel_t(spec_l: LegSpec, spec_n: LegSpec,
             [v[None] for v in a_vals], axis=0)       # (L, K, BA)
         da_mat = jnp.concatenate(
             [v[None] for v in a_ders], axis=0)
-        a_flat = a_mat.reshape(l_dim, k * ba)
-        da_flat = da_mat.reshape(l_dim, k * ba)
         g = grid_ref[:]                              # (L, M*NC)
-        h = jnp.dot(g.T, a_flat,
-                    preferred_element_type=d.dtype)  # (M*NC, K*BA)
-        h1 = jnp.dot(g.T, da_flat,
-                     preferred_element_type=d.dtype)
-        # static loop nest: T accumulations in (K_m, K_n, BA)
+        # contract L directly against the 3D basis stack: the result
+        # is (M*NC, K, BA) with no 1D intermediates (Mosaic rejects
+        # vector<n> -> vector<a x b x c> reshapes)
+        h = jax.lax.dot_general(
+            g, a_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=d.dtype)          # (M*NC, K, BA)
+        h1 = jax.lax.dot_general(
+            g, da_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=d.dtype)
+        # static loop nest, c-major: each pair-leg basis slice is
+        # built once, then the b-contraction accumulates outer-product
+        # broadcasts on (K_m, K_n, BA); sums over (b, c) commute with
+        # the b-major form
         value = jnp.zeros((k, k, ba), dtype=d.dtype)
         t1 = jnp.zeros((k, k, ba), dtype=d.dtype)
         t3 = jnp.zeros((k, k, ba), dtype=d.dtype)
-        for b_idx in range(l_dim):
-            b_col = a_mat[b_idx][None, :, :]         # over n: (1, K, BA)
-            db_val = jnp.zeros((k, k, ba), dtype=d.dtype)
-            d1_val = jnp.zeros((k, k, ba), dtype=d.dtype)
-            d3_val = jnp.zeros((k, k, ba), dtype=d.dtype)
-            for c_idx in range(nc):
+        for c_idx in range(nc):
+            c_val, c_der = _basis_slice(c_taps, c_idx)  # (K, K, BA)
+            acc_h = jnp.zeros((k, k, ba), dtype=d.dtype)
+            acc_h1 = jnp.zeros((k, k, ba), dtype=d.dtype)
+            for b_idx in range(l_dim):
+                b_col = a_mat[b_idx][None, :, :]        # n: (1, K, BA)
                 row = b_idx * nc + c_idx
-                h_m = h[row].reshape(k, ba)[:, None, :]   # (K, 1, BA)
-                h1_m = h1[row].reshape(k, ba)[:, None, :]
-                db_val = db_val + c_vals[c_idx] * h_m
-                d1_val = d1_val + c_vals[c_idx] * h1_m
-                d3_val = d3_val + c_ders[c_idx] * h_m
-            value = value + b_col * db_val
-            t1 = t1 + b_col * d1_val
-            t3 = t3 + b_col * d3_val
+                acc_h = acc_h + b_col * h[row][:, None, :]
+                acc_h1 = acc_h1 + b_col * h1[row][:, None, :]
+            value = value + c_val * acc_h
+            t1 = t1 + c_val * acc_h1
+            t3 = t3 + c_der * acc_h
         energy_ref[:] = 0.5 * jnp.sum(value, axis=(0, 1),
                                       keepdims=False)[None, :]
         w_m = jnp.sum(t1, axis=1)                    # (K, BA)
@@ -175,7 +197,8 @@ def trio_forces_pallas_t(grid,
                          block_atoms: int = 128,
                          interpret: bool = False):
     """Fused 3-body energy + forces via the atom-minor Pallas kernel."""
-    from uf3_tpu.ops.pallas_trio import _assemble_forces
+    from uf3_tpu.ops.pallas_trio import (_assemble_forces,
+                                         _pack_partials)
     n_atoms, capacity = nbr_idx.shape
     d = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
          - positions[:, None, :])
@@ -212,11 +235,18 @@ def trio_forces_pallas_t(grid,
                    block(capacity), block(capacity, 3)),
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # the unrolled L x NC loop nest peaks ~28M of stack values;
+            # v5e has 128M physical VMEM, the 16M default is just a
+            # conservative scoping heuristic
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(d_t, valid_t, grid.reshape(l_basis, l_basis * n_basis))
     energy = energy[0, :n_atoms]
     f_center = f_center[:, :n_atoms].T
     s1 = s1[:, :n_atoms].T
     s3 = s3[:, :n_atoms].T
     v3 = v3[:, :, :n_atoms].transpose(2, 0, 1)
-    return _assemble_forces(energy, f_center, s1, s3, v3, d, r,
+    packed = _pack_partials(s1, s3, v3)
+    return _assemble_forces(energy, f_center, packed, d, r,
                             nbr_idx, nbr_rev, nbr_mask)
