@@ -34,6 +34,14 @@ from uf3_tpu.ops.neighbors import cell_transform
 
 from uf3_tpu.ops.pallas_trio import LegSpec, _dense_basis
 
+# einsum with full-precision accumulation: the TPU backend
+# silently rounds f32 matmul inputs to bf16 (~0.4% relative),
+# which is fatal for forces/features computed from cell-scale
+# values.  These paths are not throughput-critical.
+import functools as _functools
+_einsum = _functools.partial(jnp.einsum, precision="highest")
+
+
 
 class FeaturizeSpec(NamedTuple):
     """Static description for the single-pair/single-trio device path."""
@@ -87,7 +95,7 @@ def featurize_device(spec: FeaturizeSpec,
     e2 = jnp.sum(a2, axis=(0, 1))
     unit2 = d2v / r2[..., None]
     # x[a, xyz, s] = 2 sum_k B'_s(r_ak) u_ak  (both bond orientations)
-    f2 = 2.0 * jnp.einsum("nks,nkc->ncs", da2, unit2)
+    f2 = 2.0 * _einsum("nks,nkc->ncs", da2, unit2)
 
     # ---- 3-body -----------------------------------------------------------
     k3 = nbr3_idx.shape[1]
@@ -110,19 +118,19 @@ def featurize_device(spec: FeaturizeSpec,
     #   Q [c, m, b, w] = sum_n B[c, n, b] C[c, m, n, w]
     #   Q3[c, m, b, w] = sum_n B[c, n, b] (dC/r)[c, m, n, w]
     #   QV[c, m, b, w, xyz] = sum_n B (dC/r) d[c, n, xyz]
-    q0 = jnp.einsum("cnb,cmnw->cmbw", a_mat, c_mat)
-    q3 = jnp.einsum("cnb,cmnw->cmbw", a_mat, dc_over_r)
-    qv = jnp.einsum("cnb,cmnw,cnx->cmbwx", a_mat, dc_over_r, d)
+    q0 = _einsum("cnb,cmnw->cmbw", a_mat, c_mat)
+    q3 = _einsum("cnb,cmnw->cmbw", a_mat, dc_over_r)
+    qv = _einsum("cnb,cmnw,cnx->cmbwx", a_mat, dc_over_r, d)
     # per-(center, slot) grid partials (N, K, L, M, NC)
-    p0 = jnp.einsum("cma,cmbw->cmabw", a_mat, q0)
-    p1 = jnp.einsum("cma,cmbw->cmabw", da_mat, q0)
-    p3 = jnp.einsum("cma,cmbw->cmabw", a_mat, q3)
-    pv = jnp.einsum("cma,cmbwx->cmabwx", a_mat, qv)
+    p0 = _einsum("cma,cmbw->cmabw", a_mat, q0)
+    p1 = _einsum("cma,cmbw->cmabw", da_mat, q0)
+    p3 = _einsum("cma,cmbw->cmabw", a_mat, q3)
+    pv = _einsum("cma,cmbwx->cmabwx", a_mat, qv)
     # energy grid: ordered pairs double-count -> 1/2
     e3 = 0.5 * jnp.sum(p0, axis=(0, 1))
     # center term: sum_m P1[a, m, g] * u_am
     unit = d / r[..., None]
-    grid_center = jnp.einsum("cmabw,cmx->cxabw", p1, unit)
+    grid_center = _einsum("cmabw,cmx->cxabw", p1, unit)
     # neighbor term: gather partials through the inverse slots
     flat = (nbr3_idx.astype(jnp.int32) * k3
             + nbr3_rev.astype(jnp.int32)).reshape(-1)
@@ -134,9 +142,9 @@ def featurize_device(spec: FeaturizeSpec,
     pv_rows = jnp.take(pv.reshape(-1, grid_size, 3), flat,
                        axis=0).reshape(n_atoms, k3, grid_size, 3)
     mask_f = nbr3_mask.astype(positions.dtype)
-    nbr_term = (jnp.einsum("akg,akx,ak->axg", p1_rows, unit, mask_f)
-                + jnp.einsum("akg,akx,ak->axg", p3_rows, d, mask_f)
-                + jnp.einsum("akgx,ak->axg", pv_rows, mask_f))
+    nbr_term = (_einsum("akg,akx,ak->axg", p1_rows, unit, mask_f)
+                + _einsum("akg,akx,ak->axg", p3_rows, d, mask_f)
+                + _einsum("akgx,ak->axg", pv_rows, mask_f))
     # reference sign convention (angles.py:229-231 applies the minus to
     # the raw accumulation; the derivative identities here already
     # carry it)

@@ -32,6 +32,14 @@ from uf3_tpu.data import elements
 from uf3_tpu.ops import spline_jax as sj
 from uf3_tpu.ops.neighbors import NeighborList, displacements
 
+# einsum with full-precision accumulation: the TPU backend
+# silently rounds f32 matmul inputs to bf16 (~0.4% relative),
+# which is fatal for forces/features computed from cell-scale
+# values.  These paths are not throughput-critical.
+import functools as _functools
+_einsum = _functools.partial(jnp.einsum, precision="highest")
+
+
 
 class PotentialParams(NamedTuple):
     """Pytree of device tables defining a fitted UF potential."""
@@ -275,7 +283,7 @@ def pair_contributions(params: PotentialParams, species, positions, cell,
     unit = d / r[..., None]
     forces = 2.0 * jnp.sum(dvdr[..., None] * unit, axis=1)
     w = dvdr / r
-    virial = jnp.einsum("nk,nka,nkb->ab", w, d, d)
+    virial = _einsum("nk,nka,nkb->ab", w, d, d)
     return atom_energy, forces, virial
 
 
@@ -308,12 +316,12 @@ def pair_contributions_fast(params: PotentialParams,
         onehot = ((edges[:-1] <= r[..., None])
                   & (r[..., None] < edges[1:]))  # (N, K, I)
         onehot = onehot.astype(r.dtype)
-        poly_e = jnp.einsum("nki,id->nkd", onehot,
+        poly_e = _einsum("nki,id->nkd", onehot,
                             params.pair_poly_e[p])
-        poly_f = jnp.einsum("nki,id->nkd", onehot,
+        poly_f = _einsum("nki,id->nkd", onehot,
                             params.pair_poly_f[p])
-        t_lo = jnp.einsum("nki,i->nk", onehot, params.pair_breaks[p, :, 0])
-        inv_h = jnp.einsum("nki,i->nk", onehot,
+        t_lo = _einsum("nki,i->nk", onehot, params.pair_breaks[p, :, 0])
+        inv_h = _einsum("nki,i->nk", onehot,
                            params.pair_breaks[p, :, 1])
         u = (r - t_lo) * inv_h
         energy = energy + jnp.where(mask, sj.horner_cubic(poly_e, u), 0.0)
@@ -322,7 +330,7 @@ def pair_contributions_fast(params: PotentialParams,
     unit = d / r[..., None]
     forces = 2.0 * jnp.sum(dvdr[..., None] * unit, axis=1)
     w = dvdr / r
-    virial = jnp.einsum("nk,nka,nkb->ab", w, d, d)
+    virial = _einsum("nk,nka,nkb->ab", w, d, d)
     return atom_energy, forces, virial
 
 
@@ -390,15 +398,15 @@ def trio_contributions_factorized(params: PotentialParams,
         db_mat = _dense_leg_basis(r, seq_m, M, n_ok, nu=1)
         c_mat = _dense_leg_basis(r_mn, seq_n, NC, pair_ok)   # (N,K,K,NC)
         dc_mat = _dense_leg_basis(r_mn, seq_n, NC, pair_ok, nu=1)
-        h = jnp.einsum("nia,abc->nibc", a_mat, grid)     # (N, K, M, NC)
-        h1 = jnp.einsum("nia,abc->nibc", da_mat, grid)
-        dd = jnp.einsum("nijc,nibc->nijb", c_mat, h)     # (N, K, K, M)
-        d1 = jnp.einsum("nijc,nibc->nijb", c_mat, h1)
-        d3 = jnp.einsum("nijc,nibc->nijb", dc_mat, h)
-        value = jnp.einsum("njb,nijb->nij", b_mat, dd)
-        t1 = jnp.einsum("njb,nijb->nij", b_mat, d1)
-        t2 = jnp.einsum("njb,nijb->nij", db_mat, dd)
-        t3 = jnp.einsum("njb,nijb->nij", b_mat, d3)
+        h = _einsum("nia,abc->nibc", a_mat, grid)     # (N, K, M, NC)
+        h1 = _einsum("nia,abc->nibc", da_mat, grid)
+        dd = _einsum("nijc,nibc->nijb", c_mat, h)     # (N, K, K, M)
+        d1 = _einsum("nijc,nibc->nijb", c_mat, h1)
+        d3 = _einsum("nijc,nibc->nijb", dc_mat, h)
+        value = _einsum("njb,nijb->nij", b_mat, dd)
+        t1 = _einsum("njb,nijb->nij", b_mat, d1)
+        t2 = _einsum("njb,nijb->nij", db_mat, dd)
+        t3 = _einsum("njb,nijb->nij", b_mat, d3)
         c_w = center_ok[:, None, None].astype(r.dtype)
         value_acc = value_acc + value * c_w
         g1 = g1 + t1 * c_w
@@ -420,9 +428,9 @@ def trio_contributions_factorized(params: PotentialParams,
     forces = forces + jnp.sum(jnp.where(nbr3.mask[..., None],
                                         term1 + term2, 0.0), axis=1)
     virial = 0.5 * (
-        jnp.einsum("nm,nma,nmb->ab", jnp.sum(g1, axis=2) / r, d, d)
-        + jnp.einsum("nm,nma,nmb->ab", jnp.sum(g2, axis=1) / r, d, d)
-        + jnp.einsum("nmk,nmka,nmkb->ab", g3 / r_mn, d_mn, d_mn))
+        _einsum("nm,nma,nmb->ab", jnp.sum(g1, axis=2) / r, d, d)
+        + _einsum("nm,nma,nmb->ab", jnp.sum(g2, axis=1) / r, d, d)
+        + _einsum("nmk,nmka,nmkb->ab", g3 / r_mn, d_mn, d_mn))
     return atom_energy, forces, virial
 
 
@@ -503,9 +511,9 @@ def trio_contributions(params: PotentialParams, species, positions, cell,
                                         term1 + term2, 0.0), axis=1)
     # virial: 1/2 sum over ordered pairs of the three leg outer products
     virial = 0.5 * (
-        jnp.einsum("nm,nma,nmb->ab", jnp.sum(g1, axis=2) / r, d, d)
-        + jnp.einsum("nm,nma,nmb->ab", jnp.sum(g2, axis=1) / r, d, d)
-        + jnp.einsum("nmk,nmka,nmkb->ab", g3 / r_mn, d_mn, d_mn))
+        _einsum("nm,nma,nmb->ab", jnp.sum(g1, axis=2) / r, d, d)
+        + _einsum("nm,nma,nmb->ab", jnp.sum(g2, axis=1) / r, d, d)
+        + _einsum("nmk,nmka,nmkb->ab", g3 / r_mn, d_mn, d_mn))
     return atom_energy, forces, virial
 
 
