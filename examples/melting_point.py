@@ -10,6 +10,10 @@ Usage: python examples/melting_point.py [trial_T_kelvin] [n_steps]
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -11,6 +11,10 @@ Usage: python examples/nexe_pair_fit.py <lammps_run_dir>
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
 import numpy as np
 
 from uf3_tpu.data import io

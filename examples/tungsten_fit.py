@@ -10,7 +10,12 @@ Usage: python examples/tungsten_fit.py <dataset.xyz> [features.h5]
 The w-14.xyz dataset is available at qmml.org (not bundled).
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

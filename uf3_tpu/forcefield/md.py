@@ -378,7 +378,7 @@ class MDSystem:
         done = 0
         while done < n_steps:
             steps = min(inner, n_steps - done)
-            state = self._run_chunk(state, steps, dt_fs,
+            state = self._run_chunk(state, n_steps=steps, dt_fs=dt_fs,
                                     thermostat="langevin",
                                     temperature=temperature,
                                     friction_ps=friction_ps)
