@@ -223,10 +223,18 @@ class BSplineBasis:
     # -- knot management ----------------------------------------------------
     def update_knots(self, r_max_map=None, r_min_map=None,
                      resolution_map=None, knots_map=None) -> None:
-        r_min_map = composition.sort_interaction_map(r_min_map or {})
-        r_max_map = composition.sort_interaction_map(r_max_map or {})
+        def broadcast(value):
+            # scalar specs (the YAML-config shorthand) apply to every
+            # pair; trio entries then derive from the pair values below
+            if value is None or isinstance(value, dict):
+                return value or {}
+            return {pair: value
+                    for pair in self.interactions_map.get(2, [])}
+
+        r_min_map = composition.sort_interaction_map(broadcast(r_min_map))
+        r_max_map = composition.sort_interaction_map(broadcast(r_max_map))
         resolution_map = composition.sort_interaction_map(
-            resolution_map or {})
+            broadcast(resolution_map))
         self.r_min_map.update(r_min_map)
         self.r_max_map.update(r_max_map)
         self.resolution_map.update(resolution_map)
