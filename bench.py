@@ -41,13 +41,19 @@ def main():
     n_atoms = len(geom)
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
+    # two-tier skins: tight 3-body skin (cutoff 4.0 A -> 16 neighbor
+    # slots = one 256-lane pair block in the trio kernel) refiltered
+    # cheaply from the wide-skin 2-body list, whose full rebuild is
+    # rare; capacities validated by the overflow check below
     system = MDSystem(model, geom, dtype=dtype, rebuild_every=18,
-                      skin=0.9, capacity_2b=76, capacity_3b=16)
+                      skin=0.5, skin_2b=1.2, capacity_2b=80,
+                      capacity_3b=16)
     state = system.init_state(temperature=300.0, seed=0)
     # warm up / compile
     state = system.run(state, n_steps=18, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0)
     jax.block_until_ready(state.positions)
+    assert not system.overflowed(state), "neighbor capacity overflow"
     # timed section
     n_chunks = 10
     steps_per_chunk = 18

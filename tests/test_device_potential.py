@@ -67,6 +67,68 @@ class TestNeighborList:
                 assert idx[c, p] == a
                 assert np.allclose(shift[c, p], -shift[a, s])
 
+    @staticmethod
+    def _pair_set(nbr):
+        idx = np.asarray(nbr.idx)
+        shift = np.asarray(nbr.shift).astype(int)
+        mask = np.asarray(nbr.mask)
+        pairs = set()
+        for a in range(idx.shape[0]):
+            for s in range(idx.shape[1]):
+                if mask[a, s]:
+                    pairs.add((a, int(idx[a, s])) + tuple(shift[a, s]))
+        return pairs
+
+    @pytest.mark.parametrize("displace", [False, True])
+    def test_cell_list_matches_bruteforce(self, displace):
+        # the production MD path (>=512 atoms) uses the packed-key
+        # cell-list builder; verify the (i, j, image) pair set equals
+        # the O(N^2) minimum-image builder's, with atoms optionally
+        # translated outside the primary cell (base-image path)
+        geom = bulk("W", "bcc", a=3.16) * (7, 7, 7)
+        geom.rattle(0.1, seed=5)
+        pos = np.array(geom.positions)
+        if displace:
+            rng = np.random.RandomState(0)
+            pos += rng.randint(-2, 3, size=(len(geom), 3)) @ geom.cell
+        pos = jnp.asarray(pos)
+        cell = jnp.asarray(geom.cell)
+        r_cut = 4.5
+        ref = nb.build_neighbor_list(pos, cell, geom.pbc, r_cut, 48,
+                                     with_rev=False)
+        grid_shape = nb.grid_shape_for(geom.cell, r_cut, geom.pbc)
+        cl = nb.build_neighbor_list_cells(
+            pos, cell, geom.pbc, r_cut, 48, grid_shape,
+            bin_capacity=24, with_rev=False)
+        assert not bool(ref.overflow) and not bool(cl.overflow)
+        assert self._pair_set(cl) == self._pair_set(ref)
+        if not displace:
+            # wrapped fast path: wrap first (rattle leaves boundary
+            # atoms slightly outside the cell), then the pair set must
+            # match the reference built on the same wrapped positions
+            posw = nb.wrap_positions(pos, cell, geom.pbc)
+            refw = nb.build_neighbor_list(posw, cell, geom.pbc, r_cut,
+                                          48, with_rev=False)
+            clw = nb.build_neighbor_list_cells(
+                posw, cell, geom.pbc, r_cut, 48, grid_shape,
+                bin_capacity=24, with_rev=False, assume_wrapped=True)
+            assert self._pair_set(clw) == self._pair_set(refw)
+
+    def test_wrap_positions_exact_translation(self):
+        geom = bulk("W", "bcc", a=3.16) * 3
+        geom.rattle(0.1, seed=2)
+        rng = np.random.RandomState(1)
+        shifts = rng.randint(-3, 4, size=(len(geom), 3))
+        pos = jnp.asarray(geom.positions + shifts @ geom.cell)
+        wrapped = np.asarray(nb.wrap_positions(
+            pos, jnp.asarray(geom.cell), geom.pbc))
+        # inside the primary cell ...
+        frac = wrapped @ np.linalg.inv(geom.cell)
+        assert np.all(frac >= -1e-9) and np.all(frac < 1.0 + 1e-9)
+        # ... and displaced from the input by exact lattice vectors
+        delta = (np.asarray(pos) - wrapped) @ np.linalg.inv(geom.cell)
+        assert np.allclose(delta, np.round(delta), atol=1e-6)
+
     def test_needs_rebuild(self, rattled_bcc):
         geom = rattled_bcc
         pos = jnp.asarray(geom.positions)

@@ -113,15 +113,24 @@ class MDSystem:
         n_bins = int(np.prod(grid_shape))
         if n_bins < 16:
             return None
-        density = len(atoms) / atoms.get_volume()
-        bin_volume = atoms.get_volume() / n_bins
-        bin_capacity = max(8, int(np.ceil(density * bin_volume * 1.6)))
+        # size bins from the MEASURED initial occupancy, not the mean:
+        # lattice planes aligning with bin boundaries concentrate up to
+        # ~1.8x the mean in one bin, and over-full bins silently drop
+        # atoms (flagged by NeighborList.overflow but still wrong)
+        frac = atoms.get_positions() @ np.linalg.inv(atoms.get_cell())
+        frac = frac - np.floor(frac)
+        coord = np.clip((frac * grid_shape).astype(int), 0,
+                        np.asarray(grid_shape) - 1)
+        bin_id = ((coord[:, 0] * grid_shape[1] + coord[:, 1])
+                  * grid_shape[2] + coord[:, 2])
+        occ = np.bincount(bin_id, minlength=n_bins).max()
+        bin_capacity = max(8, int(np.ceil(occ * 1.3)) + 2)
         topology = nb.bin_topology(grid_shape, atoms.get_pbc())
         return (grid_shape, bin_capacity, topology)
 
     # -- neighbor construction ---------------------------------------------
     def _build_one(self, positions, cell, r_cut, capacity, cells,
-                   with_rev=False):
+                   with_rev=False, wrapped=False):
         # the reverse-slot map is only needed by the 3-body kernel;
         # skipping it for the (much wider) 2-body list saves an
         # (N, K2, K2) pass per rebuild
@@ -129,7 +138,8 @@ class MDSystem:
             grid_shape, bin_capacity, topology = cells
             return nb.build_neighbor_list_cells(
                 positions, cell, self.pbc, r_cut, capacity,
-                grid_shape, bin_capacity, topology, with_rev=with_rev)
+                grid_shape, bin_capacity, topology, with_rev=with_rev,
+                assume_wrapped=wrapped)
         if self._images_2b is not None:
             return nb.build_neighbor_list_images(
                 positions, cell, self.pbc, r_cut, capacity,
@@ -137,11 +147,12 @@ class MDSystem:
         return nb.build_neighbor_list(positions, cell, self.pbc, r_cut,
                                       capacity, with_rev=with_rev)
 
-    def build_lists(self, positions, cell=None):
+    def build_lists(self, positions, cell=None, wrapped=False):
         cell = self.cell if cell is None else cell
         nbr2 = self._build_one(positions, cell,
                                self.r_cut_2b + self.skin_2b,
-                               self.capacity_2b, self._cells_2b)
+                               self.capacity_2b, self._cells_2b,
+                               wrapped=wrapped)
         nbr3 = None
         if self.degree > 2:
             if self.r_cut_3b <= self.r_cut_2b:
@@ -152,8 +163,16 @@ class MDSystem:
             else:
                 nbr3 = self._build_one(positions, cell,
                                        self.r_cut_3b + self.skin,
-                                       self.capacity_3b, self._cells_3b)
+                                       self.capacity_3b, self._cells_3b,
+                                       wrapped=wrapped)
         return nbr2, nbr3
+
+    def _wrap(self, positions, cell):
+        """Wrap into the primary cell (exact lattice translation); the
+        cell-list builder then skips per-pair base-image bookkeeping."""
+        if not any(self.pbc):
+            return positions
+        return nb.wrap_positions(positions, cell, self.pbc)
 
     def energy_forces(self, positions, nbr2, nbr3, cell=None,
                       with_energy=True):
@@ -199,7 +218,7 @@ class MDSystem:
                    velocities: np.ndarray = None,
                    temperature: float = None,
                    seed: int = 0) -> MDState:
-        positions = self._positions0
+        positions = self._wrap(self._positions0, self.cell)
         n_atoms = positions.shape[0]
         key = jax.random.PRNGKey(seed)
         if velocities is None:
@@ -214,7 +233,14 @@ class MDSystem:
                 velocities = velocities - jnp.mean(velocities, axis=0)
         else:
             velocities = jnp.asarray(velocities, dtype=self.dtype)
-        nbr2, nbr3 = self.build_lists(positions)
+        nbr2, nbr3 = self.build_lists(positions, wrapped=True)
+        overflow = nbr2.overflow if nbr3 is None \
+            else nbr2.overflow | nbr3.overflow
+        if bool(overflow):
+            raise ValueError(
+                "neighbor capacity exceeded at initialization "
+                f"(capacity_2b={self.capacity_2b}, "
+                f"capacity_3b={self.capacity_3b}); increase capacities")
         energy, forces, _ = self.energy_forces(positions, nbr2, nbr3)
         return MDState(positions=positions, velocities=velocities,
                        forces=forces, energy=energy, nbr2=nbr2, nbr3=nbr3,
@@ -275,8 +301,9 @@ class MDSystem:
         # up half of the skin margin (the other half covers this
         # chunk's drift); lax.cond keeps it device-side
         def do_rebuild(s):
-            nbr2, nbr3 = self.build_lists(s.positions, s.cell)
-            return s._replace(nbr2=nbr2, nbr3=nbr3)
+            x_w = self._wrap(s.positions, s.cell)
+            nbr2, nbr3 = self.build_lists(x_w, s.cell, wrapped=True)
+            return s._replace(positions=x_w, nbr2=nbr2, nbr3=nbr3)
 
         trigger = nb.needs_rebuild(state.nbr2, state.positions,
                                    0.5 * self.skin_2b)
@@ -395,6 +422,15 @@ class MDSystem:
                                    cell=state.cell * scale)
             cells.append(np.asarray(state.cell))
         return state, cells
+
+    def overflowed(self, state: MDState) -> bool:
+        """True when a neighbor capacity was exceeded at the last
+        build: pairs were silently dropped (nearest kept) -- raise
+        capacity_2b / capacity_3b.  Host sync; call between chunks."""
+        flag = state.nbr2.overflow
+        if state.nbr3 is not None:
+            flag = flag | state.nbr3.overflow
+        return bool(flag)
 
     # -- observables --------------------------------------------------------
     def temperature(self, state: MDState) -> float:

@@ -80,8 +80,10 @@ def build_neighbor_list(positions: jnp.ndarray,
             d2 = d2 + dk * dk
         within = (d2 < r_cut2) & (d2 > 1e-12)
         count = jnp.sum(within, axis=1)
-        key = jnp.where(within, -d2, jnp.inf)
-        neg, idx = jax.lax.top_k(-key, capacity)  # (B, K)
+        # nearest-first: overflow drops the farthest pairs, and the
+        # order-preserving downstream filter keeps the nearest subset
+        key = jnp.where(within, -d2, -jnp.inf)
+        neg, idx = jax.lax.top_k(key, capacity)  # (B, K)
         mask = neg > -jnp.inf
         # recompute the image shift for the selected pairs only (same
         # inputs, same rounding op -> bitwise-identical to the full
@@ -152,8 +154,9 @@ def build_neighbor_list_images(positions: jnp.ndarray,
             d2 = d2 + dc * dc
         within = (d2 < r_cut2) & (d2 > 1e-12)
         count = jnp.sum(within, axis=1)
-        key = jnp.where(within, -d2, jnp.inf)
-        neg, cand = jax.lax.top_k(-key, capacity)
+        # nearest-first (see build_neighbor_list)
+        key = jnp.where(within, -d2, -jnp.inf)
+        neg, cand = jax.lax.top_k(key, capacity)
         mask = neg > -jnp.inf
         idx = cand // n_images
         shift = shifts[cand % n_images]
@@ -331,12 +334,26 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
                               grid_shape: Tuple[int, int, int],
                               bin_capacity: int,
                               topology=None,
-                              with_rev: bool = True) -> NeighborList:
+                              with_rev: bool = True,
+                              assume_wrapped: bool = False
+                              ) -> NeighborList:
     """
     O(N) cell-list neighbor search, jit-compatible with static bin
     geometry: one argsort bins the atoms, candidates come from the 27
     neighbor bins via a static topology map, and the per-row top-k runs
     over only 27 * bin_capacity candidates instead of all atoms.
+
+    The selection is gather-free: the candidate's atom id and stencil
+    shift code are packed into the low bits of the (quantized-d2) top-k
+    key, so the winners decode arithmetically -- no post-top-k gathers
+    over (B, cap_b, 27*cap_b) broadcasts, which dominated the build
+    cost.  Quantizing d2 only permutes the within-row slot order (any
+    order is a valid padded list; nearest-first is preserved to ~10-bit
+    resolution so overflow still drops the farthest candidates first).
+
+    ``assume_wrapped=True`` asserts every position's fractional
+    coordinate lies in [0, 1) along periodic directions (the MD engine
+    wraps at rebuild time), eliding the per-pair base-image gather.
     """
     n_atoms = positions.shape[0]
     capacity = min(capacity, n_atoms)
@@ -348,9 +365,19 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
     nbr_bins, nbr_shifts, nbr_valid = (jnp.asarray(t) for t in topology)
     pbc_vec = jnp.asarray(pbc, dtype=positions.dtype).reshape(3)
     frac = cell_transform(positions, jnp.linalg.inv(cell))
-    # wrap periodic directions; base shift restores original positions
-    frac_wrapped = jnp.where(pbc_vec > 0, frac % 1.0, frac)
-    base_shift = frac - frac_wrapped  # integer image of each atom
+    if assume_wrapped:
+        # positions are already in the primary cell (caller wrapped by
+        # an exact lattice translation); binning clips the ~1-ulp
+        # boundary excursions that re-deriving frac can produce --
+        # re-wrapping here would silently reintroduce base images
+        frac_wrapped = frac
+        base_shift = None
+        wrapped_pos = positions
+    else:
+        # wrap periodic directions; base shift restores the originals
+        frac_wrapped = jnp.where(pbc_vec > 0, frac % 1.0, frac)
+        base_shift = frac - frac_wrapped  # integer image of each atom
+        wrapped_pos = cell_transform(frac_wrapped, cell)
     dims = jnp.array(grid_shape, dtype=positions.dtype)
     bin_coord = jnp.clip((frac_wrapped * dims).astype(jnp.int32), 0,
                          jnp.array(grid_shape, dtype=jnp.int32) - 1)
@@ -368,7 +395,6 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
                           n_atoms - 1)
     bin_atoms = order[gather_idx]                      # (B, cap_b)
     bin_mask = slot[None, :] < counts[:, None]         # (B, cap_b)
-    wrapped_pos = cell_transform(frac_wrapped, cell)
     bin_pos = jnp.take(wrapped_pos, bin_atoms.reshape(-1),
                        axis=0).reshape(n_bins, cap_b, 3)
     # candidates per bin: atoms of the 27 neighbor bins (+ image shift)
@@ -381,35 +407,59 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
                 .reshape(n_bins, 27, cap_b, 3)
                 + cell_transform(nbr_shifts, cell)[:, :, None, :]
                 ).reshape(n_bins, 27 * cap_b, 3)
-    cand_shift = jnp.broadcast_to(nbr_shifts[:, :, None, :],
-                                  (n_bins, 27, cap_b, 3)
-                                  ).reshape(n_bins, 27 * cap_b, 3)
-    # distances between every bin atom and its candidates
-    diff = cand_pos[:, None, :, :] - bin_pos[:, :, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)     # (B, cap_b, 27*cap_b)
+    # squared distances with the candidate axis on vector lanes;
+    # per-component accumulation avoids materializing the
+    # (B, cap_b, 27*cap_b, 3) difference tensor
+    d2 = jnp.zeros((n_bins, cap_b, 27 * cap_b), dtype=positions.dtype)
+    for c in range(3):
+        dc = cand_pos[:, None, :, c] - bin_pos[:, :, None, c]
+        d2 = d2 + dc * dc
     within = (cand_mask[:, None, :] & bin_mask[:, :, None]
               & (d2 < r_cut * r_cut) & (d2 > 1e-12))
     count_row = jnp.sum(within, axis=-1)
     overflow = overflow_bins | jnp.any(
         jnp.where(bin_mask, count_row, 0) > capacity)
-    key = jnp.where(within, -d2, jnp.inf)
-    neg, sel = jax.lax.top_k(-key, capacity)  # (B, cap_b, K)
-    mask_sel = neg > -jnp.inf
-    idx_sel = jnp.take_along_axis(
-        jnp.broadcast_to(cand_atoms[:, None, :],
-                         (n_bins, cap_b, 27 * cap_b)),
-        sel, axis=2).astype(jnp.int32)                 # (B, cap_b, K)
-    shift_sel = jnp.take_along_axis(
-        jnp.broadcast_to(cand_shift[:, None, :, :],
-                         (n_bins, cap_b, 27 * cap_b, 3)),
-        sel[..., None], axis=2)                        # (B, cap_b, K, 3)
-    # relative image shift: candidate image minus this atom's own image
-    # (positions were wrapped; restore absolute-position consistency)
-    base_i = jnp.take(base_shift, bin_atoms.reshape(-1),
-                      axis=0).reshape(n_bins, cap_b, 3)
-    base_j = jnp.take(base_shift, idx_sel.reshape(-1),
-                      axis=0).reshape(n_bins, cap_b, capacity, 3)
-    shift_total = (shift_sel - base_j + base_i[:, :, None, :])
+    # packed key: [quantized d2 | stencil shift code (5b) | atom id];
+    # stencil shift components are in {-1, 0, 1} by construction
+    bits_n = max(1, int(np.ceil(np.log2(max(2, n_atoms)))))
+    bits_pay = bits_n + 5
+    if bits_pay > 30:
+        raise ValueError(f"{n_atoms} atoms exceeds the packed-key "
+                         "range of the cell-list builder")
+    d2_bits = min(10, 30 - bits_pay)
+    s_int = nbr_shifts.astype(jnp.int32)
+    s_code = ((s_int[:, :, 0] + 1) * 9 + (s_int[:, :, 1] + 1) * 3
+              + (s_int[:, :, 2] + 1))                  # (B, 27)
+    pay_col = (jnp.repeat(s_code, cap_b, axis=1)
+               * (1 << bits_n)) + cand_atoms.astype(jnp.int32)
+    big = jnp.int32(2 ** 31 - 1)
+    if d2_bits > 0:
+        scale = (2 ** d2_bits - 1) / (r_cut * r_cut)
+        d2q = jnp.clip((d2 * scale).astype(jnp.int32), 0,
+                       2 ** d2_bits - 1)
+        key = d2q * (1 << bits_pay) + pay_col[:, None, :]
+    else:
+        key = jnp.broadcast_to(pay_col[:, None, :], d2.shape)
+    key = jnp.where(within, key, big)
+    neg, _ = jax.lax.top_k(-key, capacity)             # (B, cap_b, K)
+    key_sel = -neg
+    mask_sel = key_sel < big
+    idx_sel = (key_sel & ((1 << bits_n) - 1)).astype(jnp.int32)
+    o_sel = (key_sel >> bits_n) & 31
+    shift_sel = jnp.stack([(o_sel // 9 - 1).astype(positions.dtype),
+                           (o_sel // 3 % 3 - 1).astype(positions.dtype),
+                           (o_sel % 3 - 1).astype(positions.dtype)],
+                          axis=-1)                     # (B, cap_b, K, 3)
+    if assume_wrapped:
+        shift_total = shift_sel
+    else:
+        # relative image shift: candidate image minus this atom's own
+        # image (positions were wrapped; restore absolute consistency)
+        base_i = jnp.take(base_shift, bin_atoms.reshape(-1),
+                          axis=0).reshape(n_bins, cap_b, 3)
+        base_j = jnp.take(base_shift, idx_sel.reshape(-1),
+                          axis=0).reshape(n_bins, cap_b, capacity, 3)
+        shift_total = (shift_sel - base_j + base_i[:, :, None, :])
     # back to atom order via the inverse permutation (gather, no
     # scatter): atom a sits at sorted position inv_order[a], i.e. slot
     # inv_order[a] - starts[bin_id[a]] of its bin row
@@ -429,6 +479,17 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
     return NeighborList(idx=idx_out, shift=shift_out, mask=mask_out,
                         rev=rev, overflow=overflow,
                         reference_positions=positions)
+
+
+def wrap_positions(positions, cell, pbc):
+    """Translate atoms by integer multiples of the cell vectors into
+    the primary cell along periodic directions.  The translation is an
+    exact lattice vector (integer base times cell rows), so energies
+    and forces are invariant to float rounding of the products."""
+    pbc_vec = jnp.asarray(pbc, dtype=positions.dtype).reshape(3)
+    frac = cell_transform(positions, jnp.linalg.inv(cell))
+    base = jnp.floor(frac) * pbc_vec
+    return positions - cell_transform(base, cell)
 
 
 def needs_rebuild(nbr: NeighborList, positions, skin: float) -> jnp.ndarray:
