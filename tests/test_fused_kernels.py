@@ -76,7 +76,65 @@ class TestPairKernels:
         assert np.allclose(np.asarray(f0), f_ref, atol=1e-9)
 
 
+class TestCardinalBasis:
+    def test_cardinal_coefficients_roundtrip(self):
+        # random clamped spline on uniform knots == its cardinal
+        # re-expression, everywhere on the domain incl. derivatives
+        rng = np.random.RandomState(7)
+        n_int = 12
+        lo, hi = 1.0, 5.5
+        pts = np.linspace(lo, hi, n_int + 1)
+        seq = np.concatenate([[lo] * 3, pts, [hi] * 3])
+        coef = rng.randn(n_int + 3)
+        uc = pt.cardinal_coefficients(seq, coef)
+        assert uc is not None
+        ok, spec = pt.leg_spec_from_knots(seq)
+        assert ok and spec.kind == pt.LINEAR
+        spec_c = spec._replace(cardinal=True)
+        r = jnp.asarray(np.linspace(lo + 1e-9, hi - 1e-9, 507))
+        # clamped evaluation via de Boor
+        idx = pt._leg_interval(spec, r)
+        vals, ders = pt._deboor4(r, idx, spec)
+        v_ref = sum(vals[t] * jnp.asarray(coef)[idx + t]
+                    for t in range(4))
+        d_ref = sum(ders[t] * jnp.asarray(coef)[idx + t]
+                    for t in range(4))
+        cvals, cders, cidx = pt._cardinal4(r, spec_c)
+        ucj = jnp.asarray(uc)
+        v = sum(cvals[t] * ucj[cidx + t] for t in range(4))
+        d = sum(cders[t] * ucj[cidx + t] for t in range(4))
+        assert np.allclose(np.asarray(v), np.asarray(v_ref), atol=1e-10)
+        assert np.allclose(np.asarray(d), np.asarray(d_ref), atol=1e-9)
+
+    def test_cardinal_rejects_nonuniform(self):
+        pts = np.array([1.0, 2.0, 3.5, 4.0, 5.5])
+        seq = np.concatenate([[1.0] * 3, pts, [5.5] * 3])
+        assert pt.cardinal_coefficients(seq, np.ones(7)) is None
+
+
 class TestTrioKernel:
+    def test_active_bc_matches_dense(self, w_model, w_setup):
+        # static zero-block skipping must be exact: the skipped (b, c)
+        # blocks have all-zero grid columns
+        geom, params, pos, cell, nbr2, nbr3, e_ref, f_ref = w_setup
+        bundle = pt.build_trio_pallas(w_model, dtype=jnp.float64)
+        n_active = sum(len(cs) for _, cs in bundle.active_bc)
+        assert n_active < bundle.grid.shape[1] * bundle.grid.shape[2]
+        dense = pt.trio_forces_unrolled(
+            bundle.grid, pos, cell, nbr3.idx, nbr3.shift, nbr3.mask,
+            nbr3.rev, spec_l=bundle.spec_l, spec_n=bundle.spec_n,
+            l_basis=bundle.l_basis, n_basis=bundle.n_basis,
+            block_atoms=64)
+        sparse = pt.trio_forces_unrolled(
+            bundle.grid, pos, cell, nbr3.idx, nbr3.shift, nbr3.mask,
+            nbr3.rev, spec_l=bundle.spec_l, spec_n=bundle.spec_n,
+            l_basis=bundle.l_basis, n_basis=bundle.n_basis,
+            block_atoms=64, active_bc=bundle.active_bc)
+        assert np.allclose(np.asarray(dense[0]), np.asarray(sparse[0]),
+                           atol=1e-12)
+        assert np.allclose(np.asarray(dense[1]), np.asarray(sparse[1]),
+                           atol=1e-12)
+
     def test_unrolled_matches_factorized(self, w_model, w_setup):
         geom, params, pos, cell, nbr2, nbr3, e_ref, f_ref = w_setup
         bundle = pt.build_trio_pallas(w_model, dtype=jnp.float64)

@@ -201,7 +201,9 @@ class MDSystem:
                 spec_n=self.trio_bundle.spec_n,
                 l_basis=self.trio_bundle.l_basis,
                 n_basis=self.trio_bundle.n_basis,
-                with_energy=with_energy)
+                with_energy=with_energy,
+                active_bc=self.trio_bundle.active_bc,
+                window=self.trio_bundle.window)
             return (e1 + jnp.sum(e2) + jnp.sum(e3), f2 + f3, None)
         return pot.compute_energy_forces(self.params, self.species,
                                          positions, cell, nbr2,

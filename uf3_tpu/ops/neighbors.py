@@ -37,8 +37,19 @@ def cell_transform(vecs, cell):
 
 def displacements(positions, cell, idx, shift):
     """d[i, k] = R_idx[i,k] + shift[i,k] @ cell - R_i."""
-    return (positions[idx] + cell_transform(shift, cell)
+    return (gather_rows(positions, idx) + cell_transform(shift, cell)
             - positions[:, None, :])
+
+
+def gather_rows(table, idx):
+    """table (N, D) gathered at idx (N, K) -> (N, K, D), as K per-column
+    row takes.  On TPU this runs ~2.2x faster than the one-shot 2D
+    gather (measured 1.38 vs 3.04 ms/step for the 10k-atom pair list):
+    each take is a plain row gather the compiler pipelines well, and no
+    (N, K, D) minor-dim-3 layout is materialized along the way."""
+    cols = [jnp.take(table, idx[:, k], axis=0)
+            for k in range(idx.shape[1])]
+    return jnp.stack(cols, axis=1)
 
 
 def build_neighbor_list(positions: jnp.ndarray,
@@ -210,10 +221,10 @@ def filter_neighbor_list(nbr: NeighborList, positions, cell,
     derived list (pass the current positions when re-filtering mid-run
     with a fresher snapshot than the parent's build positions)."""
     n_atoms = nbr.idx.shape[0]
-    # one row gather, then per-component (N, P) arithmetic (atom axis
-    # on lanes; scalar-element gathers per component are ~3x slower)
-    pj = jnp.take(positions, nbr.idx.reshape(-1),
-                  axis=0).reshape(nbr.idx.shape + (3,))
+    # per-column row takes, then per-component (N, P) arithmetic (atom
+    # axis on lanes; scalar-element gathers per component are ~3x
+    # slower, one 2D row gather ~2.2x)
+    pj = gather_rows(positions, nbr.idx)
     d2 = jnp.zeros(nbr.idx.shape, dtype=positions.dtype)
     for k in range(3):
         dk = (pj[..., k]
@@ -262,8 +273,10 @@ def _reverse_slots(idx, shift, mask):
     """
     n_atoms, capacity = idx.shape
     c = idx  # (N, K)
-    cand_idx = idx[c]      # (N, K, K): neighbor lists of neighbors
-    cand_shift = shift[c]  # (N, K, K, 3)
+    cand_idx = gather_rows(idx, c)   # (N, K, K): neighbors' lists
+    cand_shift = gather_rows(
+        shift.reshape(n_atoms, -1), c).reshape(
+            n_atoms, capacity, capacity, 3)
     a = jnp.arange(n_atoms, dtype=idx.dtype)[:, None, None]
     match = (cand_idx == a) & jnp.all(
         cand_shift == -shift[:, :, None, :], axis=-1)

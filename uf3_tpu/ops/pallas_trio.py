@@ -55,6 +55,92 @@ class LegSpec(NamedTuple):
     #   (knots.py generate_uniform_knots); the closed form is within
     #   ~5e-11 of that, fine for MD (f32) but the exact table is used
     #   by the featurization path for bit-level parity
+    cardinal: bool = False  # coefficients re-expressed over uniform
+    #   cardinal B-splines (LINEAR knots only): evaluation is floor +
+    #   frac + fixed cubic blends -- no de Boor recursion, no divides
+
+
+# uniform cardinal cubic B-spline blending: w_tap(f) = sum_p M[tap,p] f^p
+# on local coordinate f in [0, 1) of an interval; the 4 active basis
+# functions at interval k are indices k..k+3
+CARDINAL_M = np.array([[1.0, -3.0, 3.0, -1.0],
+                       [4.0, 0.0, -6.0, 3.0],
+                       [1.0, 3.0, 3.0, -3.0],
+                       [0.0, 0.0, 0.0, 1.0]]) / 6.0
+
+
+def cardinal_coefficients(knot_sequence, coefficients):
+    """
+    Re-express a clamped cubic spline with UNIFORM interior knots over
+    uniform cardinal B-splines (3 phantom knots per side, same basis
+    count).  Any C^2 piecewise cubic on uniform breakpoints lies in the
+    cardinal span, so the conversion is exact; solved interval-by-
+    interval from the piecewise monomial form.  Returns the converted
+    coefficient vector (n_int + 3,) or None if knots are non-uniform.
+    """
+    from uf3_tpu.ops.spline_jax import basis_monomial_table
+    seq = np.asarray(knot_sequence, dtype=np.float64)
+    pts = seq[3:-3]
+    gaps = np.diff(pts)
+    if not np.allclose(gaps, gaps[0], rtol=1e-8, atol=1e-10):
+        return None
+    coefficients = np.asarray(coefficients, dtype=np.float64)
+    beta = basis_monomial_table(seq)          # (n_int, tap, power)
+    n_int = beta.shape[0]
+    poly = np.stack([coefficients[i:i + 4] @ beta[i]
+                     for i in range(n_int)])  # (n_int, power)
+    uc = np.zeros(n_int + 3)
+    uc[0:4] = np.linalg.solve(CARDINAL_M.T, poly[0])
+    for i in range(1, n_int):
+        # only the new tap is unknown; match the cubic term:
+        # poly[i][3] = (-uc[i] + 3 uc[i+1] - 3 uc[i+2] + uc[i+3]) / 6
+        uc[i + 3] = (6.0 * poly[i, 3] + uc[i] - 3.0 * uc[i + 1]
+                     + 3.0 * uc[i + 2])
+    # verify the reconstruction (cheap, catches conditioning issues)
+    recon = np.stack([CARDINAL_M.T @ uc[i:i + 4] for i in range(n_int)])
+    scale = max(1.0, np.abs(poly).max())
+    if np.abs(recon - poly).max() > 1e-8 * scale:
+        return None
+    return uc
+
+
+def cardinal_transform_matrix(knot_sequence):
+    """(n_basis, n_basis) map from clamped-basis coefficients to
+    cardinal coefficients, or None for non-uniform knots."""
+    seq = np.asarray(knot_sequence, dtype=np.float64)
+    n_basis = len(seq) - 4
+    cols = []
+    for j in range(n_basis):
+        e = np.zeros(n_basis)
+        e[j] = 1.0
+        uc = cardinal_coefficients(seq, e)
+        if uc is None:
+            return None
+        cols.append(uc)
+    return np.stack(cols, axis=1)  # uc = T @ c
+
+
+def _cardinal4(r, spec: LegSpec):
+    """Values and d/dr of the 4 active cardinal basis functions plus
+    the interval index: floor + frac + fixed cubic blends (no
+    recursion, no divides).  LINEAR (uniform-in-r) knots only."""
+    inv_h = 1.0 / spec.h
+    tt = (r - spec.u0) * inv_h
+    idx = jnp.clip(jnp.floor(tt).astype(jnp.int32), 0, spec.n_int - 1)
+    f = tt - idx.astype(r.dtype)
+    f2 = f * f
+    f3 = f2 * f
+    sixth = 1.0 / 6.0
+    values = [(1.0 - 3.0 * f + 3.0 * f2 - f3) * sixth,
+              (4.0 - 6.0 * f2 + 3.0 * f3) * sixth,
+              (1.0 + 3.0 * f + 3.0 * f2 - 3.0 * f3) * sixth,
+              f3 * sixth]
+    half_h = 0.5 * inv_h
+    derivs = [-(1.0 - 2.0 * f + f2) * half_h,
+              (3.0 * f2 - 4.0 * f) * half_h,
+              (1.0 + 2.0 * f - 3.0 * f2) * half_h,
+              f2 * half_h]
+    return values, derivs, idx
 
 
 def leg_spec_from_knots(seq: np.ndarray,
@@ -159,45 +245,84 @@ def _deboor4(r, idx, spec: LegSpec):
     return values, derivs
 
 
-def _dense_basis(r, valid, spec: LegSpec):
-    """Dense (..., n_basis) basis and derivative matrices.  ``valid``
-    may be bool or float; masks are handled as float arithmetic (Mosaic
-    cannot insert minor dims on 1-bit vectors)."""
-    idx = _leg_interval(spec, r)
-    values, derivs = _deboor4(r, idx, spec)
+def _dense_basis(r, valid, spec: LegSpec, lo: int = 0, hi: int = None,
+                 transposed: bool = False):
+    """Dense basis and derivative matrices over the static basis-index
+    window [lo, hi).  ``valid`` may be bool or float; masks are handled
+    as float arithmetic (Mosaic cannot insert minor dims on 1-bit
+    vectors).
+
+    transposed=False: (..., hi-lo) with the basis axis minor.
+    transposed=True:  (..., hi-lo, P) for r of shape (..., P) -- the
+    layout the pair-lane contraction consumes, built directly instead
+    of materializing + transposing a (..., P, n_basis) tensor.
+    """
+    if hi is None:
+        hi = spec.n_basis
+    if spec.cardinal:
+        values, derivs, idx = _cardinal4(r, spec)
+    else:
+        idx = _leg_interval(spec, r)
+        values, derivs = _deboor4(r, idx, spec)
     in_range_f = (valid.astype(r.dtype)
                   * (r >= spec.t_min).astype(r.dtype)
                   * (r <= spec.t_max).astype(r.dtype))
-    n_basis = spec.n_basis
+    width = hi - lo
     mats = []
-    for cols in (values, derivs):
-        out = jnp.zeros(r.shape + (n_basis,), dtype=r.dtype)
-        rel = jax.lax.broadcasted_iota(jnp.int32, r.shape + (n_basis,),
-                                       len(r.shape)) - idx[..., None]
-        for tap in range(4):
-            out = out + jnp.where(rel == tap,
-                                  cols[tap][..., None], 0.0)
-        out = out * in_range_f[..., None]
-        mats.append(out)
+    if transposed:
+        # rel[..., w, p] = (lo + w) - idx[..., p]
+        shape = r.shape[:-1] + (width, r.shape[-1])
+        axis = len(shape) - 2
+        rel = (jax.lax.broadcasted_iota(jnp.int32, shape, axis) + lo
+               - idx[..., None, :])
+        gate = in_range_f[..., None, :]
+        for cols in (values, derivs):
+            out = jnp.zeros(shape, dtype=r.dtype)
+            for tap in range(4):
+                out = out + jnp.where(rel == tap,
+                                      cols[tap][..., None, :], 0.0)
+            mats.append(out * gate)
+    else:
+        shape = r.shape + (width,)
+        rel = (jax.lax.broadcasted_iota(jnp.int32, shape, len(r.shape))
+               + lo - idx[..., None])
+        gate = in_range_f[..., None]
+        for cols in (values, derivs):
+            out = jnp.zeros(shape, dtype=r.dtype)
+            for tap in range(4):
+                out = out + jnp.where(rel == tap,
+                                      cols[tap][..., None], 0.0)
+            mats.append(out * gate)
     return mats[0], mats[1]
 
 
 def _trio_block_compute(d, valid, grid,
                         spec_l: LegSpec, spec_n: LegSpec,
                         l_dim: int, nc: int,
-                        with_energy: bool = True):
+                        with_energy: bool = True,
+                        active_bc=None,
+                        window=None):
     """
     Fused per-block computation shared by the Pallas kernel and the
     plain-XLA unrolled path: from displacements (BA, K, 3) + validity
     to (energy (BA, 1), center force (BA, 3), S1/S3' (BA, K),
-    V3' (BA, K, 3)).  All loops are static (L x NC unrolled) with the
-    K*K pair axis kept on vector lanes.
+    V3' (BA, K, 3)).  All loops are static with the K*K pair axis kept
+    on vector lanes; the basis windows and (b, c) block list restrict
+    the work to the statically-live part of the coefficient grid (the
+    reference's default trims zero ~4/5 of it).
     """
     ba, k = d.shape[0], d.shape[1]
+    if active_bc is None:
+        active_bc = tuple((b, tuple(range(nc))) for b in range(l_dim))
+    if window is None:
+        window = (0, l_dim, 0, nc)
+    w_lo, w_hi, c_lo, c_hi = window
+    ww, cw = w_hi - w_lo, c_hi - c_lo
     valid_f = valid.astype(d.dtype)
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
-    a_mat, da_mat = _dense_basis(r, valid_f, spec_l)    # (BA, K, L)
+    a_mat, da_mat = _dense_basis(r, valid_f, spec_l,
+                                 lo=w_lo, hi=w_hi)      # (BA, K, Ww)
     # neighbor-neighbor legs per component directly on the K*K pair
     # lane axis (p = m*K + n: value d[n] - d[m]); a (BA, K, K, 3)
     # difference tensor would put the trailing 3 on vector lanes and
@@ -211,39 +336,39 @@ def _trio_block_compute(d, valid, grid,
     pair_valid = (jnp.tile(valid_f, (1, k))
                   * jnp.repeat(valid_f, k, axis=-1)
                   * (r_mn2 > 1e-10).astype(d.dtype))
-    c_pair, dc_pair = _dense_basis(r_mn, pair_valid, spec_n)
-    g_flat = grid  # pre-flattened (L, M*NC) by the caller
-    h = jnp.dot(a_mat.reshape(ba * k, l_dim), g_flat,
+    # third-leg basis built DIRECTLY in (BA, Cw, K*K) layout -- the
+    # contraction's consumption order -- instead of building
+    # (BA, K*K, Cw) and paying two 2M-element transposes
+    c_p, dc_p = _dense_basis(r_mn, pair_valid, spec_n,
+                             lo=c_lo, hi=c_hi, transposed=True)
+    g_flat = grid[w_lo:w_hi, w_lo:w_hi, c_lo:c_hi].reshape(ww, ww * cw)
+    h = jnp.dot(a_mat.reshape(ba * k, ww), g_flat,
                 precision=MATMUL_PRECISION,
-                preferred_element_type=d.dtype).reshape(ba, k, l_dim,
-                                                        nc)
-    h1 = jnp.dot(da_mat.reshape(ba * k, l_dim), g_flat,
+                preferred_element_type=d.dtype).reshape(ba, k, ww, cw)
+    h1 = jnp.dot(da_mat.reshape(ba * k, ww), g_flat,
                  precision=MATMUL_PRECISION,
-                 preferred_element_type=d.dtype).reshape(ba, k, l_dim,
-                                                         nc)
+                 preferred_element_type=d.dtype).reshape(ba, k, ww, cw)
     # accumulate T[m, n] = sum_bc B[n, b] C[mn, c] H[m, b, c] on the
     # K*K pair-lane axis: the m-dependent H columns are repeated onto
     # the pair lanes (blocked repeat), the n-dependent B columns tiled;
-    # the static L x NC loop nest stays in one fused VPU pass per block
+    # the static live-block loop stays in one fused VPU pass per block
     value = jnp.zeros((ba, k * k), dtype=d.dtype)
     t1 = jnp.zeros((ba, k * k), dtype=d.dtype)
     t3 = jnp.zeros((ba, k * k), dtype=d.dtype)
-    c_p = c_pair.transpose(0, 2, 1)      # (BA, NC, K*K)
-    dc_p = dc_pair.transpose(0, 2, 1)
-    for b_idx in range(l_dim):
-        hb = h[:, :, b_idx, :]           # (BA, K, NC) per m
-        h1b = h1[:, :, b_idx, :]
+    for b_idx, c_list in active_bc:
+        hb = h[:, :, b_idx - w_lo, :]    # (BA, K, Cw) per m
+        h1b = h1[:, :, b_idx - w_lo, :]
         db = jnp.zeros((ba, k * k), dtype=d.dtype)
         d1b = jnp.zeros((ba, k * k), dtype=d.dtype)
         d3b = jnp.zeros((ba, k * k), dtype=d.dtype)
-        for c_idx in range(nc):
-            h_bc = jnp.repeat(hb[:, :, c_idx], k, axis=-1)
-            h1_bc = jnp.repeat(h1b[:, :, c_idx], k, axis=-1)
+        for c_idx in c_list:
+            h_bc = jnp.repeat(hb[:, :, c_idx - c_lo], k, axis=-1)
+            h1_bc = jnp.repeat(h1b[:, :, c_idx - c_lo], k, axis=-1)
             if with_energy:
-                db = db + c_p[:, c_idx, :] * h_bc
-            d1b = d1b + c_p[:, c_idx, :] * h1_bc
-            d3b = d3b + dc_p[:, c_idx, :] * h_bc
-        b_col = jnp.tile(a_mat[:, :, b_idx], (1, k))   # (BA, K*K)
+                db = db + c_p[:, c_idx - c_lo, :] * h_bc
+            d1b = d1b + c_p[:, c_idx - c_lo, :] * h1_bc
+            d3b = d3b + dc_p[:, c_idx - c_lo, :] * h_bc
+        b_col = jnp.tile(a_mat[:, :, b_idx - w_lo], (1, k))  # (BA,K*K)
         if with_energy:
             value = value + b_col * db
         t1 = t1 + b_col * d1b
@@ -255,9 +380,11 @@ def _trio_block_compute(d, valid, grid,
     f_center = jnp.sum(w_m[..., None] * unit, axis=1)
     g3p = (t3 / r_mn).reshape(ba, k, k)
     s3 = jnp.sum(g3p, axis=2)
-    v3 = jax.lax.dot_general(g3p, d, (((2,), (1,)), ((0,), (0,))),
-                             precision=MATMUL_PRECISION,
-                             preferred_element_type=d.dtype)
+    # v3[m, c] = sum_n g3p[m, n] d[n, c]: per-component broadcast
+    # reduce; a batched (K x K)@(K x 3) dot_general runs at tiny-matmul
+    # MXU efficiency and costs more than the whole VPU pass
+    v3 = jnp.stack([jnp.sum(g3p * d[:, None, :, c], axis=2)
+                    for c in range(3)], axis=-1)
     return energy, f_center, w_m, s3, v3
 
 
@@ -299,20 +426,38 @@ def pair_forces_unrolled(coefficients,
     """
     Single-pair-type 2-body energy + forces with closed-form interval
     lookup and static coefficient selection: V(r) and dV/dr via the
-    4-tap de Boor kernel dotted with per-tap selected coefficients --
-    no per-pair table gathers or interval one-hots.
+    4-tap de Boor kernel (or divide-free cardinal blends for uniform
+    knots) dotted with per-tap selected coefficients -- no per-pair
+    table gathers or interval one-hots.
+
+    Neighbor positions come in as per-column row takes and every array
+    stays (N, K)-shaped per component: materializing (N, K, 3) tensors
+    (3 on the minor/lane axis) costs ~2.2x on TPU.
 
     Returns (energy_sum, forces (N, 3)).
     """
-    d = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
-         - positions[:, None, :])
-    r2 = jnp.sum(d * d, axis=-1)
+    from uf3_tpu.ops.neighbors import gather_rows
+    pj = gather_rows(positions, nbr_idx)           # (N, K, 3)
+    dtype = positions.dtype
+    comps = []
+    r2 = jnp.zeros(nbr_idx.shape, dtype)
+    for c in range(3):
+        dc = (pj[..., c]
+              + nbr_shift[..., 0] * cell[0, c]
+              + nbr_shift[..., 1] * cell[1, c]
+              + nbr_shift[..., 2] * cell[2, c]
+              - positions[:, c][:, None])
+        comps.append(dc)
+        r2 = r2 + dc * dc
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
-    valid_f = (nbr_mask.astype(d.dtype)
-               * (r > spec.t_min).astype(d.dtype)
-               * (r < spec.t_max).astype(d.dtype))
-    idx = _leg_interval(spec, r)
-    values, derivs = _deboor4(r, idx, spec)
+    valid_f = (nbr_mask.astype(dtype)
+               * (r > spec.t_min).astype(dtype)
+               * (r < spec.t_max).astype(dtype))
+    if spec.cardinal:
+        values, derivs, idx = _cardinal4(r, spec)
+    else:
+        idx = _leg_interval(spec, r)
+        values, derivs = _deboor4(r, idx, spec)
     v_sum = jnp.zeros_like(r)
     dv_sum = jnp.zeros_like(r)
     for tap in range(4):
@@ -322,11 +467,11 @@ def pair_forces_unrolled(coefficients,
         if with_energy:
             v_sum = v_sum + values[tap] * c_tap
         dv_sum = dv_sum + derivs[tap] * c_tap
-    dv_sum = dv_sum * valid_f
     energy = jnp.sum(v_sum * valid_f) if with_energy \
-        else jnp.zeros((), dtype=d.dtype)
-    unit = d / r[..., None]
-    forces = 2.0 * jnp.sum(dv_sum[..., None] * unit, axis=1)
+        else jnp.zeros((), dtype=dtype)
+    w_pair = 2.0 * dv_sum * valid_f / r
+    forces = jnp.stack([jnp.sum(w_pair * dc, axis=1) for dc in comps],
+                       axis=-1)
     return energy, forces
 
 
@@ -414,6 +559,11 @@ def build_pair_fast(model, dtype=jnp.float32):
     sizes, offsets = config.get_interaction_partitions()
     coefficients = model.coefficients[offsets[pair]:offsets[pair]
                                       + sizes[pair]]
+    if spec.kind == LINEAR:
+        uc = cardinal_coefficients(config.knots_map[pair], coefficients)
+        if uc is not None:
+            return (spec._replace(cardinal=True),
+                    jnp.asarray(uc, dtype=dtype))
     return spec, jnp.asarray(coefficients, dtype=dtype)
 
 
@@ -424,6 +574,8 @@ class TrioPallas(NamedTuple):
     grid: jnp.ndarray
     l_basis: int
     n_basis: int
+    active_bc: Tuple = None  # static ((b, (c, ...)), ...) live blocks
+    window: Tuple = None     # static (w_lo, w_hi, c_lo, c_hi) live span
 
 
 def build_trio_pallas(model, dtype=jnp.float32):
@@ -447,9 +599,31 @@ def build_trio_pallas(model, dtype=jnp.float32):
     from uf3_tpu.regression.least_squares import arrange_coefficients
     solutions = arrange_coefficients(model.coefficients, config)
     grid = config.decompress_3B(solutions[trio], trio)
+    # static sparsity: trimmed/symmetry-dead coefficients are exact
+    # zeros of the grid; (b, c) blocks with an all-zero G[:, b, c]
+    # column are skipped in the pair-lane contraction (the reference's
+    # default 3B trims zero 3 leading + 3 trailing basis fns per leg,
+    # which kills ~4/5 of the dense L x NC loop).  NOTE: this is why
+    # the trio legs stay in the clamped basis -- the cardinal
+    # re-expression would densify the zero pattern.
+    grid = np.asarray(grid, dtype=np.float64)
+    alive = ~np.all(grid == 0.0, axis=0)           # (M, NC)
+    active_bc = tuple(
+        (b, tuple(int(c) for c in np.nonzero(alive[b])[0]))
+        for b in range(grid.shape[1]) if alive[b].any())
+    if active_bc:
+        l_alive = np.nonzero(~np.all(grid == 0.0, axis=(1, 2)))[0]
+        bs = [b for b, _ in active_bc]
+        cs = [c for _, cl in active_bc for c in cl]
+        w_lo = int(min(l_alive.min(), min(bs)))
+        w_hi = int(max(l_alive.max(), max(bs))) + 1
+        window = (w_lo, w_hi, int(min(cs)), int(max(cs)) + 1)
+    else:
+        window = (0, grid.shape[0], 0, grid.shape[2])
     return TrioPallas(spec_l=spec_l, spec_n=spec_n,
                       grid=jnp.asarray(grid, dtype=dtype),
-                      l_basis=grid.shape[0], n_basis=grid.shape[2])
+                      l_basis=grid.shape[0], n_basis=grid.shape[2],
+                      active_bc=active_bc, window=window)
 
 
 @functools.partial(jax.jit,
@@ -499,18 +673,16 @@ def trio_forces_pallas(grid,
         in_specs=[
             block(capacity, 3),
             block(capacity),
-            pl.BlockSpec((bundle.l_basis,
-                          bundle.l_basis * bundle.n_basis),
-                         lambda i: (0, 0),
+            pl.BlockSpec((bundle.l_basis, bundle.l_basis,
+                          bundle.n_basis),
+                         lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(block(1), block(3), block(capacity),
                    block(capacity), block(capacity, 3)),
         out_shape=out_shapes,
         interpret=interpret,
-    )(d_padded, valid,
-      bundle.grid.reshape(bundle.l_basis,
-                          bundle.l_basis * bundle.n_basis))
+    )(d_padded, valid, bundle.grid)
     energy = energy[:n_atoms, 0]
     packed = _pack_partials(s1[:n_atoms], s3[:n_atoms], v3[:n_atoms])
     return _assemble_forces(energy, f_center[:n_atoms], packed, d, r,
@@ -523,11 +695,11 @@ def _assemble_forces(energy, f_center, packed, d, r,
     slots.  Uses a flattened single-index gather (multi-array advanced
     indexing faults the TPU runtime at scale) of 8-wide rows (three
     separate gathers are ~3x slower; see _pack_partials)."""
+    from uf3_tpu.ops.neighbors import gather_rows
     n_atoms, capacity = nbr_idx.shape
     flat = (nbr_idx.astype(jnp.int32) * capacity
             + nbr_rev.astype(jnp.int32))    # (N, K)
-    rows = jnp.take(packed.reshape(-1, 8), flat.reshape(-1),
-                    axis=0).reshape(n_atoms, capacity, 8)
+    rows = gather_rows(packed.reshape(-1, 8), flat)
     unit = d / r[..., None]
     contrib = (rows[..., 0:1] * unit + rows[..., 1:2] * d
                + rows[..., 2:5])
@@ -539,7 +711,8 @@ def _assemble_forces(energy, f_center, packed, d, r,
 @functools.partial(jax.jit,
                    static_argnames=("spec_l", "spec_n", "l_basis",
                                     "n_basis", "block_atoms",
-                                    "with_energy"))
+                                    "with_energy", "active_bc",
+                                    "window"))
 def trio_forces_unrolled(grid,
                          positions, cell, nbr_idx, nbr_shift, nbr_mask,
                          nbr_rev,
@@ -548,7 +721,9 @@ def trio_forces_unrolled(grid,
                          l_basis: int = 0,
                          n_basis: int = 0,
                          block_atoms: int = 512,
-                         with_energy: bool = True):
+                         with_energy: bool = True,
+                         active_bc=None,
+                         window=None):
     """
     Plain-XLA twin of the Pallas kernel: the same fused pair-lane
     computation applied blockwise with lax.map to bound intermediate
@@ -556,9 +731,10 @@ def trio_forces_unrolled(grid,
     With ``with_energy=False`` the value-accumulation chain is elided
     (MD inner steps need forces only).
     """
+    from uf3_tpu.ops.neighbors import gather_rows
     n_atoms, capacity = nbr_idx.shape
-    d = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
-         - positions[:, None, :])
+    d = (gather_rows(positions, nbr_idx)
+         + cell_transform(nbr_shift, cell) - positions[:, None, :])
     r2 = jnp.sum(d * d, axis=-1)
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
     pad = (-n_atoms) % block_atoms
@@ -567,13 +743,12 @@ def trio_forces_unrolled(grid,
     m_blocks = jnp.pad(nbr_mask, ((0, pad), (0, 0))).reshape(
         -1, block_atoms, capacity)
 
-    g_flat = grid.reshape(l_basis, l_basis * n_basis)
-
     def block_fn(args):
         d_b, m_b = args
         energy, f_center, s1, s3, v3 = _trio_block_compute(
-            d_b, m_b, g_flat, spec_l, spec_n, l_basis, n_basis,
-            with_energy=with_energy)
+            d_b, m_b, grid, spec_l, spec_n, l_basis, n_basis,
+            with_energy=with_energy, active_bc=active_bc,
+            window=window)
         # pack inside the block so lax.map writes the gather-ready
         # layout directly (no separate concat pass over HBM)
         return energy, f_center, _pack_partials(s1, s3, v3)
