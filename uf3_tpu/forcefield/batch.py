@@ -55,26 +55,50 @@ def batch_relax(geometries: List[Atoms],
 def save_md_checkpoint(filename: str, state, system=None) -> None:
     """Write an MD state checkpoint (positions, velocities, forces,
     PRNG key, thermostat momentum, cell) as a compressed npz."""
+    import jax
+    key = state.key
+    if jnp_is_typed_key(key):
+        key_impl = str(jax.random.key_impl(key))
+        key_data = np.asarray(jax.random.key_data(key))
+    else:
+        key_impl = ""
+        key_data = np.asarray(key)
     np.savez_compressed(
         filename,
         positions=np.asarray(state.positions),
         velocities=np.asarray(state.velocities),
         forces=np.asarray(state.forces),
         energy=np.asarray(state.energy),
-        key=np.asarray(state.key),
+        key=key_data,
+        key_impl=np.asarray(key_impl),
         xi=np.asarray(state.xi),
         cell=np.asarray(state.cell))
+
+
+def jnp_is_typed_key(key) -> bool:
+    import jax
+    try:
+        return jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key)
+    except Exception:
+        return False
 
 
 def load_md_checkpoint(filename: str, system):
     """Restore an MDState from a checkpoint; neighbor lists are
     rebuilt from the stored positions."""
+    import jax
     import jax.numpy as jnp
     from uf3_tpu.forcefield.md import MDState
     data = np.load(filename)
     positions = jnp.asarray(data["positions"], dtype=system.dtype)
     cell = jnp.asarray(data["cell"], dtype=system.dtype)
     nbr2, nbr3 = system.build_lists(positions, cell)
+    key_impl = str(data["key_impl"]) if "key_impl" in data else ""
+    if key_impl:
+        key = jax.random.wrap_key_data(jnp.asarray(data["key"]),
+                                       impl=key_impl)
+    else:
+        key = jnp.asarray(data["key"])
     return MDState(
         positions=positions,
         velocities=jnp.asarray(data["velocities"],
@@ -82,7 +106,7 @@ def load_md_checkpoint(filename: str, system):
         forces=jnp.asarray(data["forces"], dtype=system.dtype),
         energy=jnp.asarray(data["energy"], dtype=system.dtype),
         nbr2=nbr2, nbr3=nbr3,
-        key=jnp.asarray(data["key"]),
+        key=key,
         xi=jnp.asarray(data["xi"], dtype=system.dtype),
         stale=jnp.zeros((), dtype=bool),
         cell=cell)

@@ -20,7 +20,7 @@ back to uf3_tpu.ops.potential.trio_contributions_factorized.
 """
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -296,46 +296,49 @@ def _dense_basis(r, valid, spec: LegSpec, lo: int = 0, hi: int = None,
     return mats[0], mats[1]
 
 
-def _trio_block_compute(d, valid, grid,
+def _trio_block_compute(comps, valid, grid,
                         spec_l: LegSpec, spec_n: LegSpec,
                         l_dim: int, nc: int,
                         with_energy: bool = True,
                         active_bc=None,
-                        window=None):
+                        window=None,
+                        pair_pre=None):
     """
     Fused per-block computation shared by the Pallas kernel and the
-    plain-XLA unrolled path: from displacements (BA, K, 3) + validity
-    to (energy (BA, 1), center force (BA, 3), S1/S3' (BA, K),
-    V3' (BA, K, 3)).  All loops are static with the K*K pair axis kept
-    on vector lanes; the basis windows and (b, c) block list restrict
-    the work to the statically-live part of the coefficient grid (the
+    plain-XLA unrolled path: from per-component displacements (a tuple
+    of three (BA, K) arrays -- minor-dim-3 tensors pay 42x tile-padding
+    on TPU IO) + validity to (energy (BA,), center-force components
+    (3-tuple of (BA,)), S1/S3' (BA, K), V3' components (3-tuple of
+    (BA, K))).  All loops are static with the K*K pair axis kept on
+    vector lanes; the basis windows and (b, c) block list restrict the
+    work to the statically-live part of the coefficient grid (the
     reference's default trims zero ~4/5 of it).
     """
-    ba, k = d.shape[0], d.shape[1]
+    dx, dy, dz = comps
+    ba, k = dx.shape[0], dx.shape[1]
+    dtype = dx.dtype
     if active_bc is None:
         active_bc = tuple((b, tuple(range(nc))) for b in range(l_dim))
     if window is None:
         window = (0, l_dim, 0, nc)
     w_lo, w_hi, c_lo, c_hi = window
     ww, cw = w_hi - w_lo, c_hi - c_lo
-    valid_f = valid.astype(d.dtype)
-    r2 = jnp.sum(d * d, axis=-1)
+    valid_f = valid.astype(dtype)
+    r2 = dx * dx + dy * dy + dz * dz
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
     a_mat, da_mat = _dense_basis(r, valid_f, spec_l,
                                  lo=w_lo, hi=w_hi)      # (BA, K, Ww)
     # neighbor-neighbor legs per component directly on the K*K pair
-    # lane axis (p = m*K + n: value d[n] - d[m]); a (BA, K, K, 3)
-    # difference tensor would put the trailing 3 on vector lanes and
-    # waste 125/128 of the VPU
-    r_mn2 = jnp.zeros((ba, k * k), dtype=d.dtype)
-    for c in range(3):
-        dc = d[..., c]                                   # (BA, K)
+    # lane axis (p = m*K + n: value d[n] - d[m])
+    r_mn2 = jnp.zeros((ba, k * k), dtype=dtype)
+    for dc in comps:
         diff_c = jnp.tile(dc, (1, k)) - jnp.repeat(dc, k, axis=-1)
         r_mn2 = r_mn2 + diff_c * diff_c
     r_mn = jnp.sqrt(jnp.where(r_mn2 > 0, r_mn2, 1.0))    # (BA, K*K)
-    pair_valid = (jnp.tile(valid_f, (1, k))
-                  * jnp.repeat(valid_f, k, axis=-1)
-                  * (r_mn2 > 1e-10).astype(d.dtype))
+    if pair_pre is None:
+        pair_pre = (jnp.tile(valid_f, (1, k))
+                    * jnp.repeat(valid_f, k, axis=-1))
+    pair_valid = pair_pre * (r_mn2 > 1e-10).astype(dtype)
     # third-leg basis built DIRECTLY in (BA, Cw, K*K) layout -- the
     # contraction's consumption order -- instead of building
     # (BA, K*K, Cw) and paying two 2M-element transposes
@@ -344,23 +347,23 @@ def _trio_block_compute(d, valid, grid,
     g_flat = grid[w_lo:w_hi, w_lo:w_hi, c_lo:c_hi].reshape(ww, ww * cw)
     h = jnp.dot(a_mat.reshape(ba * k, ww), g_flat,
                 precision=MATMUL_PRECISION,
-                preferred_element_type=d.dtype).reshape(ba, k, ww, cw)
+                preferred_element_type=dtype).reshape(ba, k, ww, cw)
     h1 = jnp.dot(da_mat.reshape(ba * k, ww), g_flat,
                  precision=MATMUL_PRECISION,
-                 preferred_element_type=d.dtype).reshape(ba, k, ww, cw)
+                 preferred_element_type=dtype).reshape(ba, k, ww, cw)
     # accumulate T[m, n] = sum_bc B[n, b] C[mn, c] H[m, b, c] on the
     # K*K pair-lane axis: the m-dependent H columns are repeated onto
     # the pair lanes (blocked repeat), the n-dependent B columns tiled;
     # the static live-block loop stays in one fused VPU pass per block
-    value = jnp.zeros((ba, k * k), dtype=d.dtype)
-    t1 = jnp.zeros((ba, k * k), dtype=d.dtype)
-    t3 = jnp.zeros((ba, k * k), dtype=d.dtype)
+    value = jnp.zeros((ba, k * k), dtype=dtype)
+    t1 = jnp.zeros((ba, k * k), dtype=dtype)
+    t3 = jnp.zeros((ba, k * k), dtype=dtype)
     for b_idx, c_list in active_bc:
         hb = h[:, :, b_idx - w_lo, :]    # (BA, K, Cw) per m
         h1b = h1[:, :, b_idx - w_lo, :]
-        db = jnp.zeros((ba, k * k), dtype=d.dtype)
-        d1b = jnp.zeros((ba, k * k), dtype=d.dtype)
-        d3b = jnp.zeros((ba, k * k), dtype=d.dtype)
+        db = jnp.zeros((ba, k * k), dtype=dtype)
+        d1b = jnp.zeros((ba, k * k), dtype=dtype)
+        d3b = jnp.zeros((ba, k * k), dtype=dtype)
         for c_idx in c_list:
             h_bc = jnp.repeat(hb[:, :, c_idx - c_lo], k, axis=-1)
             h1_bc = jnp.repeat(h1b[:, :, c_idx - c_lo], k, axis=-1)
@@ -373,30 +376,103 @@ def _trio_block_compute(d, valid, grid,
             value = value + b_col * db
         t1 = t1 + b_col * d1b
         t3 = t3 + b_col * d3b
-    energy = 0.5 * jnp.sum(value, axis=1, keepdims=True)
+    energy = 0.5 * jnp.sum(value, axis=1)
     t1_g = t1.reshape(ba, k, k)
     w_m = jnp.sum(t1_g, axis=2)                          # (BA, K)
-    unit = d / r[..., None]
-    f_center = jnp.sum(w_m[..., None] * unit, axis=1)
+    wr = w_m / r
+    f_center = tuple(jnp.sum(wr * dc, axis=1) for dc in comps)
     g3p = (t3 / r_mn).reshape(ba, k, k)
     s3 = jnp.sum(g3p, axis=2)
     # v3[m, c] = sum_n g3p[m, n] d[n, c]: per-component broadcast
     # reduce; a batched (K x K)@(K x 3) dot_general runs at tiny-matmul
     # MXU efficiency and costs more than the whole VPU pass
-    v3 = jnp.stack([jnp.sum(g3p * d[:, None, :, c], axis=2)
-                    for c in range(3)], axis=-1)
+    v3 = tuple(jnp.sum(g3p * dc[:, None, :], axis=2) for dc in comps)
     return energy, f_center, w_m, s3, v3
 
 
-def _pack_partials(s1, s3, v3):
+class ForceCache(NamedTuple):
+    """Per-chunk loop invariants of the force kernels.
+
+    When the neighbor lists are traced values (MD chunks: they come
+    out of the rebuild lax.cond), XLA does NOT hoist loop-invariant
+    derived quantities out of the scan -- mask float conversions,
+    tile/repeat mask products, shift @ cell products, and strided
+    index-column slices get recomputed every step (+45% step time
+    measured at 10k atoms).  This cache computes them once per chunk.
+    """
+    idx_flats: Tuple        # blocked flat (b*N,) neighbor-index groups
+    sd: jnp.ndarray         # (3, N, K) shift @ cell per component
+    valid: jnp.ndarray      # (N, K) float pre-mask
+    pair_pre: jnp.ndarray = None   # (N, K*K) tile*repeat mask (3B)
+    rev_flats: Tuple = None        # blocked packed-row gather indices
+    valid_b: jnp.ndarray = None     # (N, K) bool mask (3B assembly)
+
+
+# columns per take: per-step op-dispatch overhead dominates single
+# column takes; one big flat take loses the column structure XLA
+# pipelines well.  Measured flat curve min at 2-4 at 10k atoms.
+GATHER_BLOCK = 4
+
+
+def blockify_columns(idx_t, block: int = GATHER_BLOCK) -> Tuple:
+    """(K, N) index matrix -> tuple of flattened (b*N,) blocks,
+    precomputed once per chunk so no per-step index prep remains."""
+    k = idx_t.shape[0]
+    return tuple(idx_t[k0:k0 + block].reshape(-1)
+                 for k0 in range(0, k, block))
+
+
+def gather_rows_blocks(table, flats, n_rows: int):
+    """Gather (N, K, D) rows of ``table`` via pre-blocked flat index
+    groups (see blockify_columns)."""
+    d = table.shape[1]
+    outs = [jnp.take(table, fl, axis=0).reshape(-1, n_rows, d)
+            for fl in flats]
+    return jnp.concatenate(outs, 0).transpose(1, 0, 2)
+
+
+def gather_rows_t(table, idx_t):
+    """gather_rows from pre-transposed (K, N) indices."""
+    return gather_rows_blocks(table, blockify_columns(idx_t),
+                              idx_t.shape[1])
+
+
+def build_pair_cache(idx, shift, mask, cell, dtype) -> ForceCache:
+    """Loop invariants for pair_forces_unrolled."""
+    sd = jnp.stack([shift[..., 0] * cell[0, c]
+                    + shift[..., 1] * cell[1, c]
+                    + shift[..., 2] * cell[2, c] for c in range(3)])
+    return ForceCache(idx_flats=blockify_columns(idx.T),
+                      sd=sd.astype(dtype),
+                      valid=mask.astype(dtype))
+
+
+def build_trio_cache(nbr, cell, dtype) -> ForceCache:
+    """Loop invariants for trio_forces_unrolled."""
+    base = build_pair_cache(nbr.idx, nbr.shift, nbr.mask, cell, dtype)
+    valid = base.valid
+    k = valid.shape[1]
+    pair_pre = (jnp.tile(valid, (1, k))
+                * jnp.repeat(valid, k, axis=-1))
+    rev_flat = (nbr.idx.astype(jnp.int32) * k
+                + nbr.rev.astype(jnp.int32))
+    return base._replace(pair_pre=pair_pre,
+                         rev_flats=blockify_columns(rev_flat.T),
+                         valid_b=nbr.mask)
+
+
+def _pack_partials(s1, s3, v3_comps):
     """Slot-aligned partials packed as 8-wide rows (padded): the
     cross-atom assembly then needs ONE row gather instead of three --
     separate (N*K,), (N*K,), (N*K, 3) gathers cost ~3x the whole
     packed gather on TPU (measured 3.1 ms/step -> 0.9 ms/step at 10k
-    atoms)."""
-    return jnp.concatenate(
-        [s1[..., None], s3[..., None], v3,
-         jnp.zeros(s1.shape + (3,), s1.dtype)], axis=-1)
+    atoms).  Returned flattened to (..., K*8) so block writers emit
+    full-lane tiles instead of 16x-padded minor-dim-8 stores."""
+    k = s1.shape[-1]
+    zeros = jnp.zeros(s1.shape, s1.dtype)
+    stacked = jnp.stack([s1, s3, *v3_comps, zeros, zeros, zeros],
+                        axis=-1)
+    return stacked.reshape(s1.shape[:-1] + (k * 8,))
 
 
 def make_trio_kernel(spec_l: LegSpec, spec_n: LegSpec,
@@ -407,11 +483,16 @@ def make_trio_kernel(spec_l: LegSpec, spec_n: LegSpec,
 
     def kernel(d_ref, valid_ref, grid_ref,
                energy_ref, force_ref, s1_ref, s3_ref, v3_ref):
-        outputs = _trio_block_compute(d_ref[:], valid_ref[:] > 0,
-                                      grid_ref[:], spec_l, spec_n,
-                                      l_basis, n_basis)
-        energy_ref[:], force_ref[:], s1_ref[:], s3_ref[:], v3_ref[:] = \
-            outputs
+        d = d_ref[:]
+        comps = (d[..., 0], d[..., 1], d[..., 2])
+        energy, fc, s1, s3, v3 = _trio_block_compute(
+            comps, valid_ref[:] > 0, grid_ref[:], spec_l, spec_n,
+            l_basis, n_basis)
+        energy_ref[:] = energy[:, None]
+        force_ref[:] = jnp.stack(fc, axis=-1)
+        s1_ref[:] = s1
+        s3_ref[:] = s3
+        v3_ref[:] = jnp.stack(v3, axis=-1)
 
     return kernel
 
@@ -422,7 +503,8 @@ def pair_forces_unrolled(coefficients,
                          positions, cell, nbr_idx, nbr_shift, nbr_mask,
                          spec: LegSpec = None,
                          n_basis: int = 0,
-                         with_energy: bool = True):
+                         with_energy: bool = True,
+                         cache: Optional[ForceCache] = None):
     """
     Single-pair-type 2-body energy + forces with closed-form interval
     lookup and static coefficient selection: V(r) and dV/dr via the
@@ -437,20 +519,20 @@ def pair_forces_unrolled(coefficients,
     Returns (energy_sum, forces (N, 3)).
     """
     from uf3_tpu.ops.neighbors import gather_rows
-    pj = gather_rows(positions, nbr_idx)           # (N, K, 3)
     dtype = positions.dtype
+    if cache is None:
+        cache = build_pair_cache(nbr_idx, nbr_shift, nbr_mask, cell,
+                                 dtype)
+    pj = gather_rows_blocks(positions, cache.idx_flats,
+                            positions.shape[0])    # (N, K, 3)
     comps = []
     r2 = jnp.zeros(nbr_idx.shape, dtype)
     for c in range(3):
-        dc = (pj[..., c]
-              + nbr_shift[..., 0] * cell[0, c]
-              + nbr_shift[..., 1] * cell[1, c]
-              + nbr_shift[..., 2] * cell[2, c]
-              - positions[:, c][:, None])
+        dc = pj[..., c] + cache.sd[c] - positions[:, c][:, None]
         comps.append(dc)
         r2 = r2 + dc * dc
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
-    valid_f = (nbr_mask.astype(dtype)
+    valid_f = (cache.valid
                * (r > spec.t_min).astype(dtype)
                * (r < spec.t_max).astype(dtype))
     if spec.cardinal:
@@ -684,28 +766,41 @@ def trio_forces_pallas(grid,
         interpret=interpret,
     )(d_padded, valid, bundle.grid)
     energy = energy[:n_atoms, 0]
-    packed = _pack_partials(s1[:n_atoms], s3[:n_atoms], v3[:n_atoms])
-    return _assemble_forces(energy, f_center[:n_atoms], packed, d, r,
-                            nbr_idx, nbr_rev, nbr_mask)
+    packed = _pack_partials(s1[:n_atoms], s3[:n_atoms],
+                            tuple(v3[:n_atoms, :, c] for c in range(3)))
+    cache = ForceCache(
+        idx_flats=None, sd=None, valid=None,
+        rev_flats=blockify_columns(
+            (nbr_idx.astype(jnp.int32) * capacity
+             + nbr_rev.astype(jnp.int32)).T),
+        valid_b=nbr_mask)
+    comps = (d[..., 0], d[..., 1], d[..., 2])
+    return _assemble_forces(energy, f_center[:n_atoms], packed, comps,
+                            r, cache)
 
 
-def _assemble_forces(energy, f_center, packed, d, r,
-                     nbr_idx, nbr_rev, nbr_mask):
+def _assemble_forces(energy, f_center, packed, comps, r,
+                     cache: ForceCache):
     """Neighbor-term assembly: one packed row gather through inverse
-    slots.  Uses a flattened single-index gather (multi-array advanced
-    indexing faults the TPU runtime at scale) of 8-wide rows (three
-    separate gathers are ~3x slower; see _pack_partials)."""
-    from uf3_tpu.ops.neighbors import gather_rows
-    n_atoms, capacity = nbr_idx.shape
-    flat = (nbr_idx.astype(jnp.int32) * capacity
-            + nbr_rev.astype(jnp.int32))    # (N, K)
-    rows = gather_rows(packed.reshape(-1, 8), flat)
-    unit = d / r[..., None]
-    contrib = (rows[..., 0:1] * unit + rows[..., 1:2] * d
-               + rows[..., 2:5])
-    forces = f_center + jnp.sum(
-        jnp.where(nbr_mask[..., None], contrib, 0.0), axis=1)
-    return energy, forces
+    slots.  Uses flattened single-index blocked takes (multi-array
+    advanced indexing faults the TPU runtime at scale) of 8-wide rows
+    (three separate gathers are ~3x slower; see _pack_partials).
+    ``f_center`` may be a (N, 3) array or a 3-tuple of (N,) columns."""
+    n_atoms = r.shape[0]
+    rows = gather_rows_blocks(packed.reshape(-1, 8), cache.rev_flats,
+                              n_atoms)                 # (N, K, 8)
+    s1g = rows[..., 0]
+    s3g = rows[..., 1]
+    mask = cache.valid_b
+    cols = []
+    for c in range(3):
+        contrib = (s1g * (comps[c] / r) + s3g * comps[c]
+                   + rows[..., 2 + c])
+        fc_c = f_center[c] if isinstance(f_center, tuple) \
+            else f_center[:, c]
+        cols.append(fc_c + jnp.sum(jnp.where(mask, contrib, 0.0),
+                                   axis=1))
+    return energy, jnp.stack(cols, axis=-1)
 
 
 @functools.partial(jax.jit,
@@ -723,7 +818,8 @@ def trio_forces_unrolled(grid,
                          block_atoms: int = 512,
                          with_energy: bool = True,
                          active_bc=None,
-                         window=None):
+                         window=None,
+                         cache: Optional[ForceCache] = None):
     """
     Plain-XLA twin of the Pallas kernel: the same fused pair-lane
     computation applied blockwise with lax.map to bound intermediate
@@ -731,32 +827,49 @@ def trio_forces_unrolled(grid,
     With ``with_energy=False`` the value-accumulation chain is elided
     (MD inner steps need forces only).
     """
-    from uf3_tpu.ops.neighbors import gather_rows
     n_atoms, capacity = nbr_idx.shape
-    d = (gather_rows(positions, nbr_idx)
-         + cell_transform(nbr_shift, cell) - positions[:, None, :])
-    r2 = jnp.sum(d * d, axis=-1)
+    if cache is None:
+        cache = build_pair_cache(nbr_idx, nbr_shift, nbr_mask, cell,
+                                 positions.dtype)
+        k = capacity
+        cache = cache._replace(
+            pair_pre=(jnp.tile(cache.valid, (1, k))
+                      * jnp.repeat(cache.valid, k, axis=-1)),
+            rev_flats=blockify_columns(
+                (nbr_idx.astype(jnp.int32) * k
+                 + nbr_rev.astype(jnp.int32)).T),
+            valid_b=nbr_mask)
+    pj = gather_rows_blocks(positions, cache.idx_flats,
+                            positions.shape[0])
+    comps = tuple(pj[..., c] + cache.sd[c]
+                  - positions[:, c][:, None] for c in range(3))
+    r2 = comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
     pad = (-n_atoms) % block_atoms
-    d_blocks = jnp.pad(d, ((0, pad), (0, 0), (0, 0))).reshape(
-        -1, block_atoms, capacity, 3)
-    m_blocks = jnp.pad(nbr_mask, ((0, pad), (0, 0))).reshape(
-        -1, block_atoms, capacity)
+
+    def blocks(a):
+        return jnp.pad(a, ((0, pad), (0, 0))).reshape(
+            -1, block_atoms, a.shape[1])
+
+    c_blocks = tuple(blocks(dc) for dc in comps)
+    m_blocks = blocks(cache.valid)
+    p_blocks = blocks(cache.pair_pre)
 
     def block_fn(args):
-        d_b, m_b = args
+        cx, cy, cz, m_b, p_b = args
         energy, f_center, s1, s3, v3 = _trio_block_compute(
-            d_b, m_b, grid, spec_l, spec_n, l_basis, n_basis,
+            (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis, n_basis,
             with_energy=with_energy, active_bc=active_bc,
-            window=window)
+            window=window, pair_pre=p_b)
         # pack inside the block so lax.map writes the gather-ready
-        # layout directly (no separate concat pass over HBM)
-        return energy, f_center, _pack_partials(s1, s3, v3)
+        # layout directly, flattened to full-lane (BA, K*8) tiles (a
+        # minor-dim-8 block store pays 16x tile padding on HBM writes)
+        return (energy, jnp.stack(f_center, axis=-1),
+                _pack_partials(s1, s3, v3))
 
-    energy, f_center, packed = jax.lax.map(block_fn,
-                                           (d_blocks, m_blocks))
+    energy, f_center, packed = jax.lax.map(
+        block_fn, c_blocks + (m_blocks, p_blocks))
     energy = energy.reshape(-1)[:n_atoms]
     f_center = f_center.reshape(-1, 3)[:n_atoms]
-    packed = packed.reshape(-1, capacity, 8)[:n_atoms]
-    return _assemble_forces(energy, f_center, packed, d, r,
-                            nbr_idx, nbr_rev, nbr_mask)
+    packed = packed.reshape(-1, capacity * 8)[:n_atoms]
+    return _assemble_forces(energy, f_center, packed, comps, r, cache)

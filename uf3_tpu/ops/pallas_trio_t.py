@@ -199,6 +199,7 @@ def trio_forces_pallas_t(grid,
     """Fused 3-body energy + forces via the atom-minor Pallas kernel."""
     from uf3_tpu.ops.pallas_trio import (_assemble_forces,
                                          _pack_partials)
+    from uf3_tpu.ops import pallas_trio as pt
     n_atoms, capacity = nbr_idx.shape
     d = (positions[nbr_idx] + cell_transform(nbr_shift, cell)
          - positions[:, None, :])
@@ -247,6 +248,13 @@ def trio_forces_pallas_t(grid,
     s1 = s1[:, :n_atoms].T
     s3 = s3[:, :n_atoms].T
     v3 = v3[:, :, :n_atoms].transpose(2, 0, 1)
-    packed = _pack_partials(s1, s3, v3)
-    return _assemble_forces(energy, f_center, packed, d, r,
-                            nbr_idx, nbr_rev, nbr_mask)
+    packed = _pack_partials(s1, s3, tuple(v3[..., c] for c in range(3)))
+    capacity = nbr_idx.shape[1]
+    cache = pt.ForceCache(
+        idx_flats=None, sd=None, valid=None,
+        rev_flats=pt.blockify_columns(
+            (nbr_idx.astype(jnp.int32) * capacity
+             + nbr_rev.astype(jnp.int32)).T),
+        valid_b=nbr_mask)
+    comps = (d[..., 0], d[..., 1], d[..., 2])
+    return _assemble_forces(energy, f_center, packed, comps, r, cache)
