@@ -46,7 +46,7 @@ def main():
     # cheaply from the wide-skin 2-body list, whose full rebuild is
     # rare; capacities validated by the overflow check below
     system = MDSystem(model, geom, dtype=dtype, rebuild_every=18,
-                      skin=0.5, skin_2b=1.2, capacity_2b=80,
+                      skin=0.5, skin_2b=1.2, capacity_2b=72,
                       capacity_3b=16)
     state = system.init_state(temperature=300.0, seed=0)
     # warm up / compile

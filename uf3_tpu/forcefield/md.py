@@ -309,30 +309,42 @@ class MDSystem:
 
         # adaptive rebuild: refresh the lists only when atoms have used
         # up half of the skin margin (the other half covers this
-        # chunk's drift); lax.cond keeps it device-side
-        def do_rebuild(s):
-            x_w = self._wrap(s.positions, s.cell)
-            nbr2, nbr3 = self.build_lists(x_w, s.cell, wrapped=True)
-            return s._replace(positions=x_w, nbr2=nbr2, nbr3=nbr3)
+        # chunk's drift).  ONE lax.switch over (positions, lists) --
+        # TPU conditionals cost ~1.5 ms each in pipeline flushes, so
+        # the full-rebuild / 3B-refilter / no-op choice is merged
+        cell_c = state.cell
 
-        trigger = nb.needs_rebuild(state.nbr2, state.positions,
-                                   0.5 * self.skin_2b)
-        state = jax.lax.cond(trigger, do_rebuild, lambda s: s, state)
+        def _keep(x, n2, n3):
+            return x, n2, n3
+
+        def _refilter(x, n2, n3):
+            # the 3-body skin is the tight one: re-filter its list
+            # from the (still valid) 2-body candidates -- O(N*K2)
+            n3b = nb.filter_neighbor_list(
+                n2, x, cell_c, self.r_cut_3b + self.skin,
+                self.capacity_3b, reference_positions=x)
+            return x, n2, n3b
+
+        def _full(x, n2, n3):
+            x_w = self._wrap(x, cell_c)
+            nn2, nn3 = self.build_lists(x_w, cell_c, wrapped=True)
+            return x_w, nn2, nn3
+
+        trigger2 = nb.needs_rebuild(state.nbr2, state.positions,
+                                    0.5 * self.skin_2b)
         if self.two_tier:
-            # the 3-body skin is the tight one: re-filter its list from
-            # the (still valid) 2-body candidates -- O(N*K2), not O(N^2)
-            def do_refilter(s):
-                nbr3 = nb.filter_neighbor_list(
-                    s.nbr2, s.positions, s.cell,
-                    self.r_cut_3b + self.skin, self.capacity_3b,
-                    reference_positions=s.positions)
-                return s._replace(nbr3=nbr3)
-
             trigger3 = nb.needs_rebuild(state.nbr3, state.positions,
                                         0.5 * self.skin)
-            state = jax.lax.cond(trigger3, do_refilter,
-                                 lambda s: s, state)
-        state = state._replace(stale=jnp.zeros((), dtype=bool))
+            branch = jnp.where(trigger2, 2,
+                               jnp.where(trigger3, 1, 0))
+            branches = [_keep, _refilter, _full]
+        else:
+            branch = jnp.where(trigger2, 1, 0)
+            branches = [_keep, _full]
+        x, nbr2_n, nbr3_n = jax.lax.switch(
+            branch, branches, state.positions, state.nbr2, state.nbr3)
+        state = state._replace(positions=x, nbr2=nbr2_n, nbr3=nbr3_n,
+                               stale=jnp.zeros((), dtype=bool))
         # the neighbor lists and cell are invariant for the rest of the
         # chunk: close over them instead of threading them through the
         # scan carry (XLA copies carried buffers every iteration, which

@@ -365,6 +365,33 @@ class BSplineBasis:
             redundancy = {1: 1.0, 2: 0.5, 3: 1.0 / 6.0}[symmetry]
         return vec.flat[self.template_mask[interaction]] * redundancy
 
+    def compress_3B_batch(self, grids: np.ndarray, interaction: Tuple,
+                          fitting: bool = True) -> np.ndarray:
+        """compress_3B vectorized over arbitrary leading axes:
+        grids (..., L, M, N) -> (..., n_wedge).  Replaces per-grid
+        Python calls in batched featurization (the per-call overhead
+        dominated device featurization of force grids)."""
+        symmetry = self.symmetry[interaction]
+        grids = np.asarray(grids)
+        lead = grids.ndim - 3
+        if symmetry == 1:
+            vec = grids
+        elif symmetry == 2:
+            vec = grids + np.swapaxes(grids, -3, -2)
+        else:
+            def t(p):
+                return np.transpose(
+                    grids, tuple(range(lead)) + tuple(lead + i
+                                                      for i in p))
+            vec = (t((0, 1, 2)) + t((0, 2, 1)) + t((1, 0, 2))
+                   + t((1, 2, 0)) + t((2, 0, 1)) + t((2, 1, 0)))
+        if fitting:
+            redundancy = self.flat_weights[interaction]
+        else:
+            redundancy = {1: 1.0, 2: 0.5, 3: 1.0 / 6.0}[symmetry]
+        flat = vec.reshape(grids.shape[:lead] + (-1,))
+        return flat[..., self.template_mask[interaction]] * redundancy
+
     def decompress_3B(self, vec: np.ndarray,
                       interaction: Tuple) -> np.ndarray:
         """Expand a wedge vector back into the full L x M x N grid."""
