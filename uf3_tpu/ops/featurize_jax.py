@@ -226,14 +226,21 @@ def host_neighbor_arrays(geom, r_cut: float, capacity: int):
     idx = np.where(mask, order % n_atoms, self_col).astype(np.int32)
     shift = np.where(mask[:, :, None],
                      image_shift[order // n_atoms], 0.0)
-    # reverse slots, vectorized: match (index, opposite image)
-    cand_idx = idx[idx]                       # (N, K, K)
-    cand_shift = shift[idx]                   # (N, K, K, 3)
-    cand_mask = mask[idx]
+    # reverse slots, vectorized: match (index, opposite image); work
+    # on count-trimmed views -- at the generous capacities used for
+    # shape bucketing the (N, K, K, 3) candidate tensor dominates
+    kmax = max(1, int(counts.max()))
+    idx_t = idx[:, :kmax]
+    shift_t = shift[:, :kmax]
+    mask_t = mask[:, :kmax]
+    cand_idx = idx_t[idx_t]                   # (N, k, k)
+    cand_shift = shift_t[idx_t]               # (N, k, k, 3)
+    cand_mask = mask_t[idx_t]
     match = (cand_mask
              & (cand_idx == self_col[:, :, None])
-             & np.all(cand_shift == -shift[:, :, None, :], axis=-1))
-    rev = np.where(mask, np.argmax(match, axis=-1), 0).astype(np.int32)
+             & np.all(cand_shift == -shift_t[:, :, None, :], axis=-1))
+    rev = np.zeros((n_atoms, capacity), dtype=np.int32)
+    rev[:, :kmax] = np.where(mask_t, np.argmax(match, axis=-1), 0)
     return idx, shift, mask, rev
 
 
@@ -280,15 +287,6 @@ def featurize_configuration_device(bspline_config, geom,
     return e_vector, f_vectors
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def _featurize_device_vbatch(spec, positions, cells, idx2, shift2,
-                             mask2, rev2, idx3, shift3, mask3, rev3):
-    """vmapped featurize_device over a batch of same-shape configs."""
-    return jax.vmap(lambda *a: featurize_device(spec, *a))(
-        positions, cells, idx2, shift2, mask2, rev2,
-        idx3, shift3, mask3, rev3)
-
-
 def featurize_dataset_device(bspline_config,
                              geometries,
                              energies,
@@ -301,98 +299,33 @@ def featurize_dataset_device(bspline_config,
     (x_e, y_e, x_f, y_f) with per-atom energy normalization, matching
     regression.least_squares.dataframe_to_tuples semantics.
 
-    Configurations are bucketed by atom count and dispatched to the
-    device in vmapped batches (one compile + one dispatch per
-    (n_atoms, capacity, batch) shape instead of per configuration);
-    neighbor capacities are rounded up to multiples of 16 to bound
-    recompilation.  Force rows are ordered fx_0..fx_{N-1}, fy..., fz...
-    per configuration, matching the host featurizer row order.
+    One device dispatch per configuration: batched dispatch (vmap or
+    lax.map over stacked configs) re-lowers the HIGHEST-precision
+    einsums into much slower batched contractions on TPU (measured),
+    and per-call overhead is small against the ~0.1 s compute.  The
+    host-side neighbor construction and 3B compression are the
+    vectorized paths (host_neighbor_arrays / compress_3B_batch).
+    Force rows are ordered fx_0..fx_{N-1}, fy..., fz... per
+    configuration, matching the host featurizer row order.
     """
-    if dtype is None:
-        dtype = jnp.float64 if jax.config.jax_enable_x64 \
-            else jnp.float32
     spec = build_featurize_spec(bspline_config)
     if spec is None:
         raise ValueError("dataset outside the device fast path")
-    trio = bspline_config.interactions_map[3][0]
-    n_configs = len(geometries)
-    e_vecs = [None] * n_configs
-    f_vecs = [None] * n_configs
-    buckets = {}
-    for i, geom in enumerate(geometries):
-        buckets.setdefault(len(geom), []).append(i)
-
-    def round16(x):
-        return max(16, -(-int(x) // 16) * 16)
-
-    def host_arrays_grown(geom, r_cut):
-        cap = 160
-        while True:
-            try:
-                return host_neighbor_arrays(geom, r_cut, cap)
-            except ValueError:
-                cap *= 2
-
-    done = 0
-    for n_atoms, members in buckets.items():
-        # host neighbor arrays at a shared (rounded) capacity
-        host = [(host_arrays_grown(geometries[i], spec.pair.t_max),
-                 host_arrays_grown(geometries[i], spec.trio_l.t_max))
-                for i in members]
-        cap2 = round16(max(h[0][2].sum(axis=1).max() for h in host))
-        cap3 = round16(max(h[1][2].sum(axis=1).max() for h in host))
-        for start in range(0, len(members), batch_size):
-            part = members[start:start + batch_size]
-            hpart = host[start:start + batch_size]
-
-            def stack(sel, cap):
-                idx, shift, mask, rev = zip(*sel)
-                return [np.stack(arr)[:, :, :cap]
-                        for arr in (idx, shift, mask, rev)]
-            i2, s2, m2, r2 = stack([h[0] for h in hpart], cap2)
-            i3, s3, m3, r3 = stack([h[1] for h in hpart], cap3)
-            pos = np.stack([geometries[i].get_positions()
-                            for i in part])
-            cls = np.stack([np.asarray(geometries[i].get_cell())
-                            for i in part])
-            e2, f2, e3, f3 = _featurize_device_vbatch(
-                spec,
-                jnp.asarray(pos, dtype=dtype),
-                jnp.asarray(cls, dtype=dtype),
-                jnp.asarray(i2), jnp.asarray(s2, dtype=dtype),
-                jnp.asarray(m2), jnp.asarray(r2),
-                jnp.asarray(i3), jnp.asarray(s3, dtype=dtype),
-                jnp.asarray(m3), jnp.asarray(r3))
-            e3c = bspline_config.compress_3B_batch(np.asarray(e3),
-                                                  trio)
-            f3c = bspline_config.compress_3B_batch(np.asarray(f3),
-                                                  trio)
-            e2 = np.asarray(e2)
-            f2 = np.asarray(f2)
-            counts = np.full((len(part), 1), float(n_atoms))
-            ev = np.concatenate([counts, e2, e3c], axis=1)
-            fv = np.concatenate(
-                [np.zeros((len(part), n_atoms, 3, 1)), f2, f3c],
-                axis=3)
-            for j, i in enumerate(part):
-                e_vecs[i] = ev[j]
-                f_vecs[i] = fv[j]
-            done += len(part)
-            if progress is not None:
-                progress(done, n_configs)
-
     x_e, y_e, x_f, y_f = [], [], [], []
     for i, (geom, energy, force) in enumerate(
             zip(geometries, energies, forces)):
+        e_vec, f_vec = featurize_configuration_device(
+            bspline_config, geom, spec, dtype=dtype)
         n_atoms = len(geom)
-        x_e.append(e_vecs[i] / n_atoms)
+        x_e.append(e_vec / n_atoms)
         y_e.append(energy / n_atoms)
         force = np.asarray(force)
         if force.shape[0] != 3:
             force = force.T
         # rows: component-major (fx_0..fx_N, fy..., fz...)
-        x_f.append(f_vecs[i].transpose(1, 0, 2).reshape(3 * n_atoms,
-                                                        -1))
+        x_f.append(f_vec.transpose(1, 0, 2).reshape(3 * n_atoms, -1))
         y_f.append(force.reshape(-1))
+        if progress is not None:
+            progress(i + 1, len(geometries))
     return (np.stack(x_e), np.asarray(y_e),
             np.concatenate(x_f, axis=0), np.concatenate(y_f))
