@@ -47,7 +47,7 @@ def gather_rows(table, idx):
     gather (measured 1.38 vs 3.04 ms/step for the 10k-atom pair list):
     each take is a plain row gather the compiler pipelines well, and no
     (N, K, D) minor-dim-3 layout is materialized along the way."""
-    cols = [jnp.take(table, idx[:, k], axis=0)
+    cols = [table.at[idx[:, k]].get(mode="promise_in_bounds")
             for k in range(idx.shape[1])]
     return jnp.stack(cols, axis=1)
 
@@ -408,15 +408,17 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
                           n_atoms - 1)
     bin_atoms = order[gather_idx]                      # (B, cap_b)
     bin_mask = slot[None, :] < counts[:, None]         # (B, cap_b)
-    bin_pos = jnp.take(wrapped_pos, bin_atoms.reshape(-1),
-                       axis=0).reshape(n_bins, cap_b, 3)
+    bin_pos = wrapped_pos.at[bin_atoms.reshape(-1)].get(
+        mode="promise_in_bounds").reshape(n_bins, cap_b, 3)
     # candidates per bin: atoms of the 27 neighbor bins (+ image shift)
-    cand_atoms = jnp.take(bin_atoms, nbr_bins.reshape(-1),
-                          axis=0).reshape(n_bins, 27 * cap_b)
-    cand_mask = (jnp.take(bin_mask, nbr_bins.reshape(-1), axis=0)
+    cand_atoms = bin_atoms.at[nbr_bins.reshape(-1)].get(
+        mode="promise_in_bounds").reshape(n_bins, 27 * cap_b)
+    cand_mask = (bin_mask.at[nbr_bins.reshape(-1)].get(
+                     mode="promise_in_bounds")
                  .reshape(n_bins, 27, cap_b)
                  & nbr_valid[:, :, None]).reshape(n_bins, 27 * cap_b)
-    cand_pos = (jnp.take(bin_pos, nbr_bins.reshape(-1), axis=0)
+    cand_pos = (bin_pos.at[nbr_bins.reshape(-1)].get(
+                    mode="promise_in_bounds")
                 .reshape(n_bins, 27, cap_b, 3)
                 + cell_transform(nbr_shifts, cell)[:, :, None, :]
                 ).reshape(n_bins, 27 * cap_b, 3)
@@ -479,11 +481,12 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
     inv_order = jnp.argsort(order).astype(jnp.int32)
     atom_slot = inv_order - starts[bin_id].astype(jnp.int32)
     flat_row = bin_id.astype(jnp.int32) * cap_b + atom_slot
-    idx_out = jnp.take(idx_sel.reshape(-1, capacity), flat_row, axis=0)
-    shift_out = jnp.take(shift_total.reshape(-1, capacity, 3),
-                         flat_row, axis=0)
-    mask_out = jnp.take(mask_sel.reshape(-1, capacity), flat_row,
-                        axis=0)
+    idx_out = idx_sel.reshape(-1, capacity).at[flat_row].get(
+        mode="promise_in_bounds")
+    shift_out = shift_total.reshape(-1, capacity, 3).at[flat_row].get(
+        mode="promise_in_bounds")
+    mask_out = mask_sel.reshape(-1, capacity).at[flat_row].get(
+        mode="promise_in_bounds")
     self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
     idx_out = jnp.where(mask_out, idx_out, self_idx)
     shift_out = jnp.where(mask_out[:, :, None], shift_out, 0.0)

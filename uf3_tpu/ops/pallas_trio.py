@@ -424,9 +424,12 @@ def blockify_columns(idx_t, block: int = GATHER_BLOCK) -> Tuple:
 
 def gather_rows_blocks(table, flats, n_rows: int):
     """Gather (N, K, D) rows of ``table`` via pre-blocked flat index
-    groups (see blockify_columns)."""
+    groups (see blockify_columns).  Indices are in bounds by
+    construction (neighbor ids / packed slots), so the gather skips
+    the per-row clamp the default 'clip' mode emits."""
     d = table.shape[1]
-    outs = [jnp.take(table, fl, axis=0).reshape(-1, n_rows, d)
+    outs = [table.at[fl].get(
+                mode="promise_in_bounds").reshape(-1, n_rows, d)
             for fl in flats]
     return jnp.concatenate(outs, 0).transpose(1, 0, 2)
 
