@@ -135,12 +135,12 @@ def featurize_device(spec: FeaturizeSpec,
     flat = (nbr3_idx.astype(jnp.int32) * k3
             + nbr3_rev.astype(jnp.int32)).reshape(-1)
     grid_size = l_dim * l_dim * nc
-    p1_rows = jnp.take(p1.reshape(-1, grid_size), flat,
-                       axis=0).reshape(n_atoms, k3, grid_size)
-    p3_rows = jnp.take(p3.reshape(-1, grid_size), flat,
-                       axis=0).reshape(n_atoms, k3, grid_size)
-    pv_rows = jnp.take(pv.reshape(-1, grid_size, 3), flat,
-                       axis=0).reshape(n_atoms, k3, grid_size, 3)
+    p1_rows = p1.reshape(-1, grid_size).at[flat].get(
+        mode="promise_in_bounds").reshape(n_atoms, k3, grid_size)
+    p3_rows = p3.reshape(-1, grid_size).at[flat].get(
+        mode="promise_in_bounds").reshape(n_atoms, k3, grid_size)
+    pv_rows = pv.reshape(-1, grid_size, 3).at[flat].get(
+        mode="promise_in_bounds").reshape(n_atoms, k3, grid_size, 3)
     mask_f = nbr3_mask.astype(positions.dtype)
     nbr_term = (_einsum("akg,akx,ak->axg", p1_rows, unit, mask_f)
                 + _einsum("akg,akx,ak->axg", p3_rows, d, mask_f)

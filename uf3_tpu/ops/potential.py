@@ -416,12 +416,15 @@ def trio_contributions_factorized(params: PotentialParams,
     atom_energy = 0.5 * jnp.sum(value_acc, axis=(1, 2))
     unit = d / r[..., None]
     forces = jnp.sum(jnp.sum(g1, axis=2)[..., None] * unit, axis=1)
-    c_idx = nbr3.idx
-    p = nbr3.rev
-    g1_rows = g1[c_idx, p]
-    g3_rows = g3[c_idx, p]
-    r_an = r_mn[c_idx, p]
-    d_cn = d[c_idx]
+    from uf3_tpu.ops.neighbors import gather_rows
+    k3c = nbr3.idx.shape[1]
+    flat = (nbr3.idx.astype(jnp.int32) * k3c
+            + nbr3.rev.astype(jnp.int32))
+    g1_rows = gather_rows(g1.reshape(-1, k3c), flat)
+    g3_rows = gather_rows(g3.reshape(-1, k3c), flat)
+    r_an = gather_rows(r_mn.reshape(-1, k3c), flat)
+    d_cn = gather_rows(d.reshape(n_atoms, -1), nbr3.idx).reshape(
+        n_atoms, k3c, k3c, 3)
     d_an = d[:, :, None, :] + d_cn
     term1 = jnp.sum(g1_rows, axis=2)[..., None] * unit
     term2 = jnp.sum((g3_rows / r_an)[..., None] * d_an, axis=2)
@@ -498,12 +501,15 @@ def trio_contributions(params: PotentialParams, species, positions, cell,
     #   f_a += sum_n [ g1[c, p, n] * d_ac / r_ac
     #                + g3[c, p, n] * d_an / r_an ]
     # where d_an = d_ac + d_cn and r_an = r_mn[c, p, n].
-    c_idx = nbr3.idx  # (N, K)
-    p = nbr3.rev      # (N, K)
-    g1_rows = g1[c_idx, p]        # (N, K, K): g1[c, slot-of-a, n]
-    g3_rows = g3[c_idx, p]        # (N, K, K)
-    r_an = r_mn[c_idx, p]         # (N, K, K)
-    d_cn = d[c_idx]               # (N, K, K, 3)
+    from uf3_tpu.ops.neighbors import gather_rows
+    k3c = nbr3.idx.shape[1]
+    flat = (nbr3.idx.astype(jnp.int32) * k3c
+            + nbr3.rev.astype(jnp.int32))    # flat (c, slot) rows
+    g1_rows = gather_rows(g1.reshape(-1, k3c), flat)  # (N, K, K)
+    g3_rows = gather_rows(g3.reshape(-1, k3c), flat)
+    r_an = gather_rows(r_mn.reshape(-1, k3c), flat)
+    d_cn = gather_rows(d.reshape(n_atoms, -1), nbr3.idx).reshape(
+        n_atoms, k3c, k3c, 3)
     d_an = d[:, :, None, :] + d_cn  # a -> n via c: d_ac + d_cn
     term1 = jnp.sum(g1_rows, axis=2)[..., None] * unit  # (N, K, 3)
     term2 = jnp.sum((g3_rows / r_an)[..., None] * d_an, axis=2)
