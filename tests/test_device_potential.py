@@ -302,8 +302,43 @@ class TestNPT:
 
 
 class TestBinaryMD:
+    def test_multi_fused_matches_factorized(self):
+        """The fused multi-species 2+3-body kernels must agree with
+        the factorized oracle exactly (f64)."""
+        from uf3_tpu.data.composition import ChemicalSystem
+        from uf3_tpu.representation.basis import BSplineBasis
+        chem = ChemicalSystem(["Ne", "Xe"], degree=3)
+        basis = BSplineBasis(chem, r_min_map=1.0, r_max_map=5.0,
+                             resolution_map=8)
+        model = ls.WeightedLinearModel(basis)
+        rng = np.random.RandomState(11)
+        model.coefficients = rng.normal(
+            scale=0.05, size=sum(basis.partition_sizes))
+        base = bulk("Ne", "fcc", a=5.4) * 3
+        numbers = base.get_atomic_numbers()
+        numbers[rng.rand(len(numbers)) > 0.5] = 54
+        geom = Atoms(numbers=numbers, positions=base.positions,
+                     cell=base.cell, pbc=True)
+        geom.rattle(0.08, seed=4)
+        system = MDSystem(model, geom, dtype=jnp.float64,
+                          rebuild_every=5)
+        assert system.trio_multi is not None
+        assert system.pair_multi is not None
+        assert len(system.trio_multi.descs) > 1
+        state = system.init_state(temperature=10.0, seed=0)
+        # fused multi path (what energy_forces routes to)
+        e_m, f_m, _ = system.energy_forces(state.positions,
+                                           state.nbr2, state.nbr3)
+        # factorized oracle on the same lists
+        e_f, f_f, _ = pot.compute_energy_forces(
+            system.params, system.species, state.positions,
+            system.cell, state.nbr2, state.nbr3, static=system.static)
+        assert np.isclose(float(e_m), float(e_f), atol=1e-9)
+        assert np.allclose(np.asarray(f_m), np.asarray(f_f),
+                           atol=1e-9)
+
     def test_binary_md_runs(self, data_dir):
-        """Multi-species MD goes through the factorized kernels."""
+        """Multi-species MD through the fused multi-type kernels."""
         import os
         model = ls.WeightedLinearModel.from_json(
             os.path.join(data_dir, "model_binary.json"))
@@ -315,7 +350,7 @@ class TestBinaryMD:
                      cell=base.cell, pbc=True)
         system = MDSystem(model, geom, dtype=jnp.float64,
                           rebuild_every=5)
-        assert system.trio_bundle is None  # factorized path
+        assert system.trio_bundle is None
         state = system.init_state(temperature=50.0, seed=0)
         e0 = float(state.energy) + system.kinetic_energy(state)
         state = system.run(state, n_steps=20, dt_fs=1.0)

@@ -54,6 +54,14 @@ class MDSystem:
         self.trio_bundle = pt.build_trio_pallas(model, dtype=dtype)
         self.pair_fast = pt.build_pair_fast(model, dtype=dtype)
         self.pair_poly = pt.build_pair_poly(model, dtype=dtype)
+        # multi-species fused path (loops the pair-lane kernel over
+        # trio/pair types with species gates); None if any knot
+        # sequence lacks a closed form
+        self.trio_multi = None
+        self.pair_multi = None
+        if self.trio_bundle is None or self.pair_fast is None:
+            self.trio_multi = pt.build_trio_multi(model, dtype=dtype)
+            self.pair_multi = pt.build_pair_multi(model, dtype=dtype)
         self.dtype = dtype
         self.skin = float(skin)
         # two-tier skins: a larger 2-body skin makes the expensive
@@ -182,6 +190,28 @@ class MDSystem:
         cache2/cache3 carry per-chunk loop invariants (masks, shift
         products, transposed index columns) hoisted out of the scan."""
         cell = self.cell if cell is None else cell
+        if (self.trio_multi is not None and self.pair_multi is not None
+                and nbr3 is not None):
+            from uf3_tpu.ops import pallas_trio as pt
+            e1 = jnp.sum(self.params.offsets_1b[self.species])
+            specs, coeffs, ptable, _ = self.pair_multi
+            if cache2 is None:
+                cache2 = pt.build_pair_cache(
+                    nbr2.idx, nbr2.shift, nbr2.mask, cell, self.dtype,
+                    species=self.species, pair_type=ptable)
+            if cache3 is None:
+                cache3 = pt.build_trio_cache(nbr3, cell, self.dtype,
+                                             species=self.species)
+            e2, f2 = pt.pair_forces_multi(
+                coeffs, positions, cell, nbr2.idx, nbr2.shift,
+                nbr2.mask, specs=specs, with_energy=with_energy,
+                cache=cache2)
+            e3, f3 = pt.trio_forces_multi(
+                self.trio_multi.grids, self.species, positions, cell,
+                nbr3.idx, nbr3.shift, nbr3.mask, nbr3.rev,
+                descs=self.trio_multi.descs,
+                with_energy=with_energy, cache=cache3)
+            return (e1 + e2 + jnp.sum(e3), f2 + f3, None)
         if self.trio_bundle is not None and nbr3 is not None:
             from uf3_tpu.ops import pallas_trio as pt
             e1 = jnp.sum(self.params.offsets_1b[self.species])
@@ -362,6 +392,14 @@ class MDSystem:
             cache2 = pt.build_pair_cache(nbr2.idx, nbr2.shift,
                                          nbr2.mask, cell, self.dtype)
             cache3 = pt.build_trio_cache(nbr3, cell, self.dtype)
+        elif (self.trio_multi is not None
+              and self.pair_multi is not None and nbr3 is not None):
+            from uf3_tpu.ops import pallas_trio as pt
+            cache2 = pt.build_pair_cache(
+                nbr2.idx, nbr2.shift, nbr2.mask, cell, self.dtype,
+                species=self.species, pair_type=self.pair_multi[2])
+            cache3 = pt.build_trio_cache(nbr3, cell, self.dtype,
+                                         species=self.species)
 
         def fast_step(carry, _):
             x, v, f, key, xi, stale_c = carry

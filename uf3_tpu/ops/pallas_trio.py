@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uf3_tpu.ops.neighbors import cell_transform
+from uf3_tpu.ops.neighbors import cell_transform, gather_rows
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -406,6 +406,8 @@ class ForceCache(NamedTuple):
     pair_pre: jnp.ndarray = None   # (N, K*K) tile*repeat mask (3B)
     rev_flats: Tuple = None        # blocked packed-row gather indices
     valid_b: jnp.ndarray = None     # (N, K) bool mask (3B assembly)
+    ptype: jnp.ndarray = None       # (N, K) int pair-type ids (multi)
+    s_slot: jnp.ndarray = None      # (N, K) int neighbor species
 
 
 # columns per take: per-step op-dispatch overhead dominates single
@@ -440,19 +442,34 @@ def gather_rows_t(table, idx_t):
                               idx_t.shape[1])
 
 
-def build_pair_cache(idx, shift, mask, cell, dtype) -> ForceCache:
-    """Loop invariants for pair_forces_unrolled."""
+def build_pair_cache(idx, shift, mask, cell, dtype,
+                     species=None, pair_type=None) -> ForceCache:
+    """Loop invariants for pair_forces_unrolled; with ``species`` (and
+    optionally the (S, S) ``pair_type`` table) the per-slot species /
+    pair-type ids are cached for the multi-species kernels."""
     sd = jnp.stack([shift[..., 0] * cell[0, c]
                     + shift[..., 1] * cell[1, c]
                     + shift[..., 2] * cell[2, c] for c in range(3)])
-    return ForceCache(idx_flats=blockify_columns(idx.T),
-                      sd=sd.astype(dtype),
-                      valid=mask.astype(dtype))
+    cache = ForceCache(idx_flats=blockify_columns(idx.T),
+                       sd=sd.astype(dtype),
+                       valid=mask.astype(dtype))
+    if species is not None:
+        s_i = species.astype(jnp.int32)
+        s_slot = gather_rows(s_i[:, None], idx)[..., 0]
+        cache = cache._replace(s_slot=s_slot)
+        if pair_type is not None:
+            n_sp = pair_type.shape[0]
+            flat = (s_i[:, None] * n_sp + s_slot).reshape(-1)
+            cache = cache._replace(
+                ptype=pair_type.reshape(-1).at[flat].get(
+                    mode="promise_in_bounds").reshape(idx.shape))
+    return cache
 
 
-def build_trio_cache(nbr, cell, dtype) -> ForceCache:
-    """Loop invariants for trio_forces_unrolled."""
-    base = build_pair_cache(nbr.idx, nbr.shift, nbr.mask, cell, dtype)
+def build_trio_cache(nbr, cell, dtype, species=None) -> ForceCache:
+    """Loop invariants for trio_forces_unrolled / trio_forces_multi."""
+    base = build_pair_cache(nbr.idx, nbr.shift, nbr.mask, cell, dtype,
+                            species=species)
     valid = base.valid
     k = valid.shape[1]
     pair_pre = (jnp.tile(valid, (1, k))
@@ -521,7 +538,6 @@ def pair_forces_unrolled(coefficients,
 
     Returns (energy_sum, forces (N, 3)).
     """
-    from uf3_tpu.ops.neighbors import gather_rows
     dtype = positions.dtype
     if cache is None:
         cache = build_pair_cache(nbr_idx, nbr_shift, nbr_mask, cell,
@@ -876,3 +892,333 @@ def trio_forces_unrolled(grid,
     f_center = f_center.reshape(-1, 3)[:n_atoms]
     packed = packed.reshape(-1, capacity * 8)[:n_atoms]
     return _assemble_forces(energy, f_center, packed, comps, r, cache)
+
+
+# ---------------------------------------------------------------------------
+# multi-species fused path: the same pair-lane kernel looped over trio
+# types with species masks, sharing distances/gathers across types
+# ---------------------------------------------------------------------------
+class TrioTypeDesc(NamedTuple):
+    """Static per-ordered-trio-type description for the fused
+    multi-species kernel.  Window is the 6-tuple
+    (l_lo, l_hi, b_lo, b_hi, c_lo, c_hi) of live basis spans."""
+    spec_l1: LegSpec
+    spec_l2: LegSpec
+    spec_n: LegSpec
+    s_c: int
+    s_m: int
+    s_n: int
+    window: Tuple
+    active_bc: Tuple
+
+
+class TrioMulti(NamedTuple):
+    """Host-side bundle for the fused multi-species 3-body path."""
+    descs: Tuple                 # tuple of TrioTypeDesc (static)
+    grids: Tuple                 # per-type dense (L, M, NC) grids
+    z_to_species: np.ndarray
+
+
+def build_trio_multi(model, dtype=jnp.float32):
+    """Per-ordered-trio-type specs + grids for the fused multi-species
+    kernel; returns None when any knot sequence has no closed form."""
+    from uf3_tpu.data import elements
+    from uf3_tpu.regression.least_squares import arrange_coefficients
+    config = model.bspline_config
+    if config.degree <= 2:
+        return None
+    element_list = list(config.chemical_system.element_list)
+    z_list = [elements.atomic_numbers[el] for el in element_list]
+    z_to_species = np.zeros(max(z_list) + 1, dtype=np.int32)
+    for s, z in enumerate(z_list):
+        z_to_species[z] = s
+    solutions = arrange_coefficients(model.coefficients, config)
+    descs = []
+    grids = []
+    for trio in config.interactions_map[3]:
+        s_c = element_list.index(trio[0])
+        s_m = element_list.index(trio[1])
+        s_n = element_list.index(trio[2])
+        grid = np.asarray(config.decompress_3B(solutions[trio], trio),
+                          dtype=np.float64)
+        seqs = [np.asarray(s, dtype=np.float64)
+                for s in config.knots_map[trio]]
+        variants = [((s_c, s_m, s_n), grid, seqs)]
+        if s_m != s_n:
+            variants.append(((s_c, s_n, s_m), grid.transpose(1, 0, 2),
+                             [seqs[1], seqs[0], seqs[2]]))
+        for (c, m, n), g, sq in variants:
+            ok1, sp1 = leg_spec_from_knots(sq[0])
+            ok2, sp2 = leg_spec_from_knots(sq[1])
+            okn, spn = leg_spec_from_knots(sq[2])
+            if not (ok1 and ok2 and okn):
+                return None
+            alive = ~np.all(g == 0.0, axis=0)       # (M, NC)
+            active_bc = tuple(
+                (b, tuple(int(cc) for cc in np.nonzero(alive[b])[0]))
+                for b in range(g.shape[1]) if alive[b].any())
+            if active_bc:
+                l_alive = np.nonzero(~np.all(g == 0.0,
+                                             axis=(1, 2)))[0]
+                bs = [b for b, _ in active_bc]
+                cs = [cc for _, cl in active_bc for cc in cl]
+                window = (int(l_alive.min()), int(l_alive.max()) + 1,
+                          int(min(bs)), int(max(bs)) + 1,
+                          int(min(cs)), int(max(cs)) + 1)
+            else:
+                window = (0, g.shape[0], 0, g.shape[1], 0, g.shape[2])
+            descs.append(TrioTypeDesc(
+                spec_l1=sp1, spec_l2=sp2, spec_n=spn,
+                s_c=c, s_m=m, s_n=n,
+                window=window, active_bc=active_bc))
+            grids.append(jnp.asarray(g, dtype=dtype))
+    return TrioMulti(descs=tuple(descs), grids=tuple(grids),
+                     z_to_species=z_to_species)
+
+
+def _trio_block_compute_multi(comps, valid_f, s_slot, s_center, grids,
+                              descs, with_energy=True, pair_pre=None):
+    """Multi-type twin of _trio_block_compute: distances, pair-lane
+    masks and the rev-ready output layout are shared; each ordered trio
+    type contributes its own species-gated dense bases and chains."""
+    dx, dy, dz = comps
+    ba, k = dx.shape[0], dx.shape[1]
+    dtype = dx.dtype
+    r2 = dx * dx + dy * dy + dz * dz
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    r_mn2 = jnp.zeros((ba, k * k), dtype=dtype)
+    for dc in comps:
+        diff_c = jnp.tile(dc, (1, k)) - jnp.repeat(dc, k, axis=-1)
+        r_mn2 = r_mn2 + diff_c * diff_c
+    r_mn = jnp.sqrt(jnp.where(r_mn2 > 0, r_mn2, 1.0))
+    if pair_pre is None:
+        pair_pre = (jnp.tile(valid_f, (1, k))
+                    * jnp.repeat(valid_f, k, axis=-1))
+    sep = (r_mn2 > 1e-10).astype(dtype)
+    value = jnp.zeros((ba, k * k), dtype=dtype)
+    t1 = jnp.zeros((ba, k * k), dtype=dtype)
+    t3 = jnp.zeros((ba, k * k), dtype=dtype)
+    n_types = len(descs)
+    # species gates are needed unless this is genuinely unary
+    trivial = (n_types == 1
+               and descs[0].s_c == descs[0].s_m == descs[0].s_n == 0)
+    for desc, grid in zip(descs, grids):
+        w_l_lo, w_l_hi, w_b_lo, w_b_hi, c_lo, c_hi = desc.window
+        lw = w_l_hi - w_l_lo
+        bw = w_b_hi - w_b_lo
+        cw = c_hi - c_lo
+        if not trivial:
+            c_gate = (s_center == desc.s_c).astype(dtype)    # (BA,)
+            m_ok = valid_f * (s_slot == desc.s_m).astype(dtype)
+            n_ok = valid_f * (s_slot == desc.s_n).astype(dtype)
+        else:
+            c_gate = jnp.ones((ba,), dtype=dtype)
+            m_ok = n_ok = valid_f
+        a_mat, da_mat = _dense_basis(r, m_ok, desc.spec_l1,
+                                     lo=w_l_lo, hi=w_l_hi)
+        if (desc.spec_l2 == desc.spec_l1 and desc.s_m == desc.s_n
+                and (w_l_lo, w_l_hi) == (w_b_lo, w_b_hi)):
+            b_src = a_mat
+            b_lo = w_l_lo
+        else:
+            b_src, _ = _dense_basis(r, n_ok, desc.spec_l2,
+                                    lo=w_b_lo, hi=w_b_hi)
+            b_lo = w_b_lo
+        # pair mask: m on repeated lanes, n on tiled lanes
+        ppre = (jnp.tile(n_ok, (1, k)) * jnp.repeat(m_ok, k, axis=-1)
+                if not trivial else pair_pre)
+        pair_valid = ppre * sep
+        c_p, dc_p = _dense_basis(r_mn, pair_valid, desc.spec_n,
+                                 lo=c_lo, hi=c_hi, transposed=True)
+        g_flat = grid[w_l_lo:w_l_hi, w_b_lo:w_b_hi,
+                      c_lo:c_hi].reshape(lw, bw * cw)
+        h = jnp.dot(a_mat.reshape(ba * k, lw), g_flat,
+                    precision=MATMUL_PRECISION,
+                    preferred_element_type=dtype).reshape(ba, k, bw,
+                                                          cw)
+        h1 = jnp.dot(da_mat.reshape(ba * k, lw), g_flat,
+                     precision=MATMUL_PRECISION,
+                     preferred_element_type=dtype).reshape(ba, k, bw,
+                                                           cw)
+        for b_idx, c_list in desc.active_bc:
+            hb = h[:, :, b_idx - w_b_lo, :]
+            h1b = h1[:, :, b_idx - w_b_lo, :]
+            db = jnp.zeros((ba, k * k), dtype=dtype)
+            d1b = jnp.zeros((ba, k * k), dtype=dtype)
+            d3b = jnp.zeros((ba, k * k), dtype=dtype)
+            for c_idx in c_list:
+                h_bc = jnp.repeat(hb[:, :, c_idx - c_lo], k, axis=-1)
+                h1_bc = jnp.repeat(h1b[:, :, c_idx - c_lo], k, axis=-1)
+                if with_energy:
+                    db = db + c_p[:, c_idx - c_lo, :] * h_bc
+                d1b = d1b + c_p[:, c_idx - c_lo, :] * h1_bc
+                d3b = d3b + dc_p[:, c_idx - c_lo, :] * h_bc
+            b_col = jnp.tile(b_src[:, :, b_idx - b_lo], (1, k)) \
+                * c_gate[:, None]
+            if with_energy:
+                value = value + b_col * db
+            t1 = t1 + b_col * d1b
+            t3 = t3 + b_col * d3b
+    energy = 0.5 * jnp.sum(value, axis=1)
+    t1_g = t1.reshape(ba, k, k)
+    w_m = jnp.sum(t1_g, axis=2)
+    wr = w_m / r
+    f_center = tuple(jnp.sum(wr * dc, axis=1) for dc in comps)
+    g3p = (t3 / r_mn).reshape(ba, k, k)
+    s3 = jnp.sum(g3p, axis=2)
+    v3 = tuple(jnp.sum(g3p * dc[:, None, :], axis=2) for dc in comps)
+    return energy, f_center, w_m, s3, v3
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("descs", "block_atoms",
+                                    "with_energy"))
+def trio_forces_multi(grids, species,
+                      positions, cell, nbr_idx, nbr_shift, nbr_mask,
+                      nbr_rev,
+                      descs: Tuple = None,
+                      block_atoms: int = 512,
+                      with_energy: bool = True,
+                      cache: Optional[ForceCache] = None):
+    """Fused multi-species 3-body energy + forces.  ``species`` is the
+    compact per-atom species index array; grids is the per-type tuple
+    from build_trio_multi.  Returns (atom_energy, forces)."""
+    n_atoms, capacity = nbr_idx.shape
+    if cache is None:
+        cache = build_pair_cache(nbr_idx, nbr_shift, nbr_mask, cell,
+                                 positions.dtype)
+        cache = cache._replace(
+            pair_pre=(jnp.tile(cache.valid, (1, capacity))
+                      * jnp.repeat(cache.valid, capacity, axis=-1)),
+            rev_flats=blockify_columns(
+                (nbr_idx.astype(jnp.int32) * capacity
+                 + nbr_rev.astype(jnp.int32)).T),
+            valid_b=nbr_mask)
+    pj = gather_rows_blocks(positions, cache.idx_flats, n_atoms)
+    comps = tuple(pj[..., c] + cache.sd[c]
+                  - positions[:, c][:, None] for c in range(3))
+    r2 = comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    s_slot = cache.s_slot if cache.s_slot is not None else \
+        gather_rows(species[:, None].astype(jnp.int32),
+                    nbr_idx)[..., 0]               # (N, K)
+    s_center = species.astype(jnp.int32)
+    pad = (-n_atoms) % block_atoms
+
+    def blocks(a):
+        return jnp.pad(a, ((0, pad), (0, 0))).reshape(
+            -1, block_atoms, a.shape[1])
+
+    c_blocks = tuple(blocks(dc) for dc in comps)
+    m_blocks = blocks(cache.valid)
+    p_blocks = blocks(cache.pair_pre)
+    s_blocks = blocks(s_slot)
+    sc_blocks = jnp.pad(s_center, (0, pad)).reshape(-1, block_atoms)
+
+    def block_fn(args):
+        cx, cy, cz, m_b, p_b, s_b, sc_b = args
+        energy, f_center, s1, s3, v3 = _trio_block_compute_multi(
+            (cx, cy, cz), m_b, s_b, sc_b, grids, descs,
+            with_energy=with_energy, pair_pre=p_b)
+        return (energy, jnp.stack(f_center, axis=-1),
+                _pack_partials(s1, s3, v3))
+
+    energy, f_center, packed = jax.lax.map(
+        block_fn, c_blocks + (m_blocks, p_blocks, s_blocks, sc_blocks))
+    energy = energy.reshape(-1)[:n_atoms]
+    f_center = f_center.reshape(-1, 3)[:n_atoms]
+    packed = packed.reshape(-1, capacity * 8)[:n_atoms]
+    return _assemble_forces(energy, f_center, packed, comps, r, cache)
+
+
+def build_pair_multi(model, dtype=jnp.float32):
+    """(specs tuple, coefficient tuple, (S, S) pair-type table,
+    z_to_species) for the fused multi-pair-type kernel, or None when
+    any knot sequence has no closed form."""
+    from uf3_tpu.data import elements
+    config = model.bspline_config
+    element_list = list(config.chemical_system.element_list)
+    n_species = len(element_list)
+    z_list = [elements.atomic_numbers[el] for el in element_list]
+    z_to_species = np.zeros(max(z_list) + 1, dtype=np.int32)
+    for s, z in enumerate(z_list):
+        z_to_species[z] = s
+    sizes, offsets = config.get_interaction_partitions()
+    pair_type = np.zeros((n_species, n_species), dtype=np.int32)
+    specs = []
+    coeffs = []
+    for p_idx, pair in enumerate(config.interactions_map[2]):
+        ok, spec = leg_spec_from_knots(config.knots_map[pair])
+        if not ok:
+            return None
+        s_a = element_list.index(pair[0])
+        s_b = element_list.index(pair[1])
+        pair_type[s_a, s_b] = p_idx
+        pair_type[s_b, s_a] = p_idx
+        c = model.coefficients[offsets[pair]:offsets[pair]
+                               + sizes[pair]]
+        if spec.kind == LINEAR:
+            uc = cardinal_coefficients(config.knots_map[pair], c)
+            if uc is not None:
+                spec = spec._replace(cardinal=True)
+                c = uc
+        specs.append(spec)
+        coeffs.append(jnp.asarray(c, dtype=dtype))
+    return (tuple(specs), tuple(coeffs),
+            jnp.asarray(pair_type), z_to_species)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("specs", "with_energy"))
+def pair_forces_multi(coeffs, positions, cell, nbr_idx, nbr_shift,
+                      nbr_mask,
+                      specs: Tuple = None,
+                      with_energy: bool = True,
+                      cache: Optional[ForceCache] = None):
+    """Fused multi-pair-type 2-body energy + forces: one displacement
+    gather shared by all types, per-type spline chains gated by the
+    cached pair-type ids.  Returns (energy_sum, forces (N, 3))."""
+    dtype = positions.dtype
+    if cache is None:
+        raise ValueError("pair_forces_multi requires a ForceCache "
+                         "built with species + pair_type")
+    pj = gather_rows_blocks(positions, cache.idx_flats,
+                            positions.shape[0])
+    comps = []
+    r2 = jnp.zeros(nbr_idx.shape, dtype)
+    for c in range(3):
+        dc = pj[..., c] + cache.sd[c] - positions[:, c][:, None]
+        comps.append(dc)
+        r2 = r2 + dc * dc
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    v_sum = jnp.zeros_like(r)
+    dv_sum = jnp.zeros_like(r)
+    for p, spec in enumerate(specs):
+        valid_f = (cache.valid
+                   * (r > spec.t_min).astype(dtype)
+                   * (r < spec.t_max).astype(dtype))
+        if len(specs) > 1:
+            valid_f = valid_f * (cache.ptype == p).astype(dtype)
+        if spec.cardinal:
+            values, derivs, idx = _cardinal4(r, spec)
+        else:
+            idx = _leg_interval(spec, r)
+            values, derivs = _deboor4(r, idx, spec)
+        v_p = jnp.zeros_like(r)
+        dv_p = jnp.zeros_like(r)
+        for tap in range(4):
+            c_tap = jnp.zeros_like(r)
+            for w in range(spec.n_basis):
+                c_tap = jnp.where(idx + tap == w, coeffs[p][w], c_tap)
+            if with_energy:
+                v_p = v_p + values[tap] * c_tap
+            dv_p = dv_p + derivs[tap] * c_tap
+        if with_energy:
+            v_sum = v_sum + v_p * valid_f
+        dv_sum = dv_sum + dv_p * valid_f
+    energy = jnp.sum(v_sum) if with_energy \
+        else jnp.zeros((), dtype=dtype)
+    w_pair = 2.0 * dv_sum / r
+    forces = jnp.stack([jnp.sum(w_pair * dc, axis=1) for dc in comps],
+                       axis=-1)
+    return energy, forces
