@@ -15,8 +15,12 @@ equivalent of the upstream C++ `pair_style uf3` inner loop
     neighbor-force partials (S1, S3', V3') so the cross-atom term
     reduces to one tiny row gather outside the kernel.
 
-Single-trio-type (unary center) fast path; multi-species systems fall
-back to uf3_tpu.ops.potential.trio_contributions_factorized.
+The single-trio-type (unary) fast path is `trio_forces_unrolled`;
+multi-element systems use `trio_forces_multi` / `pair_forces_multi`
+(the same pair-lane kernel looped over ordered trio/pair types with
+species gates, sharing distances, gathers and the reverse-slot force
+assembly across types).  `uf3_tpu.ops.potential` keeps the factorized
+einsum kernels as the oracle / general fallback.
 """
 
 import functools
