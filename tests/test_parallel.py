@@ -44,3 +44,44 @@ def test_fit_sharded_matches_host(mesh8):
     pmesh.fit_sharded(sharded, x_e, y_e, x_f, y_f, mesh=mesh8)
     assert np.allclose(sharded.coefficients, host.coefficients,
                        atol=1e-8)
+
+
+def test_sharded_md_matches_single_device(mesh8):
+    """The mesh-sharded NVE chunk must reproduce the single-device
+    trajectory exactly (f64, deterministic NVE)."""
+    import os
+    import jax.numpy as jnp
+    from uf3_tpu.data.atoms import bulk
+    from uf3_tpu.forcefield import units
+    from uf3_tpu.forcefield.md import MDSystem
+
+    model = ls.WeightedLinearModel.from_json(
+        os.path.join("benchmarks_data", "model_2and3.json"))
+    geom = bulk("W", "bcc", a=3.1652) * 4   # 128 atoms = 16 per shard
+    geom.rattle(0.03, seed=6)
+    system = MDSystem(model, geom, dtype=jnp.float64,
+                      capacity_2b=64, capacity_3b=16)
+    state = system.init_state(temperature=120.0, seed=1)
+    dt = jnp.asarray(1.0 * units.fs, dtype=jnp.float64)
+    n_steps = 5
+    # single-device reference: identical inner math
+    m = system.masses[:, None]
+    x, v, f = state.positions, state.velocities, state.forces
+    for _ in range(n_steps):
+        v = v + 0.5 * dt * f / m
+        x = x + dt * v
+        _, f, _ = system.energy_forces(x, state.nbr2, state.nbr3,
+                                       with_energy=False)
+        v = v + 0.5 * dt * f / m
+    e_ref, f_ref, _ = system.energy_forces(x, state.nbr2, state.nbr3)
+    # sharded chunk
+    chunk, shard_atoms = pmesh.sharded_md_step_factory(
+        system, mesh8, n_steps=n_steps)
+    nbr2 = shard_atoms(state.nbr2)
+    nbr3 = shard_atoms(state.nbr3)
+    xs, vs, fs, es = chunk(state.positions, state.velocities,
+                           state.forces, nbr2, nbr3, dt)
+    assert np.allclose(np.asarray(xs), np.asarray(x), atol=1e-12)
+    assert np.allclose(np.asarray(vs), np.asarray(v), atol=1e-12)
+    assert np.allclose(np.asarray(fs), np.asarray(f_ref), atol=1e-10)
+    assert np.isclose(float(es), float(e_ref), atol=1e-10)

@@ -102,27 +102,38 @@ def fit_sharded(model,
     model.fit_with_gram(gram, ordinate)
 
 
-def sharded_md_step_factory(system, mesh: Mesh, axis_name: str = "data"):
+def sharded_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
+                            n_steps: int = 1):
     """
-    Multi-chip MD: positions replicated, per-atom force rows sharded
-    across the mesh.  Each device computes forces for its atom shard
-    (gathers from the replicated position/neighbor arrays are local)
-    and the integrated positions are all-gathered implicitly by the
-    output spec.  Returns a jitted (positions, velocities, nbr2, nbr3,
-    dt) -> (positions, velocities, forces, energy) step.
-    """
-    from uf3_tpu.ops import potential as pot
+    Multi-chip MD: positions replicated, per-atom neighbor rows (and
+    hence force rows) sharded across the mesh.  Each device runs the
+    fused force kernels for its atom shard -- the displacement gathers
+    read the replicated position array locally, and GSPMD inserts the
+    ICI collectives for the cross-shard reverse-slot exchange and the
+    position all-gather at the integration step.
 
+    Returns (chunk, shard_atoms): ``chunk(positions, velocities,
+    forces, nbr2, nbr3, dt)`` advances ``n_steps`` of velocity-Verlet
+    NVE (identical math to the single-chip inner scan) and returns
+    (positions, velocities, forces, energy).
+    """
     n_shards = mesh.shape[axis_name]
+    m = system.masses[:, None]
 
-    def step(positions, velocities, nbr2, nbr3, dt):
-        energy, forces, _ = pot.compute_energy_forces(
-            system.params, system.species, positions, system.cell,
-            nbr2, nbr3, static=system.static)
-        m = system.masses[:, None]
-        velocities = velocities + dt * forces / m
-        positions = positions + dt * velocities
-        return positions, velocities, forces, energy
+    def chunk(positions, velocities, forces, nbr2, nbr3, dt):
+        def step(carry, _):
+            x, v, f = carry
+            v = v + 0.5 * dt * f / m
+            x = x + dt * v
+            _, f, _ = system.energy_forces(x, nbr2, nbr3,
+                                           with_energy=False)
+            v = v + 0.5 * dt * f / m
+            return (x, v, f), None
+        (x, v, f), _ = jax.lax.scan(step, (positions, velocities,
+                                           forces), None,
+                                    length=n_steps)
+        energy, f, _ = system.energy_forces(x, nbr2, nbr3)
+        return x, v, f, energy
 
     # shard the per-atom axis of the neighbor lists and let jit/GSPMD
     # insert the collectives
@@ -134,4 +145,4 @@ def sharded_md_step_factory(system, mesh: Mesh, axis_name: str = "data"):
         return jax.tree.map(
             lambda leaf: jax.device_put(leaf, spec_for(leaf)), tree)
 
-    return jax.jit(step), shard_atoms
+    return jax.jit(chunk), shard_atoms
