@@ -148,3 +148,55 @@ def test_filter_max_forces():
         index=["ok", "bad"])
     matches = io.filter_max_forces(df, cutoff=10)
     assert list(matches) == ["ok"]
+
+
+class TestAseDbCache:
+    def test_cache_and_read_roundtrip(self, tmp_path, data_dir):
+        """cache_data -> read_database round-trips geometries, energy,
+        forces, and scalar info (reference io.py:383/:906 semantics,
+        ase.db SQLite schema)."""
+        ref_xyz = "/root/reference/tests/data/extended_xyz/test.xyz"
+        if not os.path.isfile(ref_xyz):
+            pytest.skip("reference dataset unavailable")
+        coordinator = io.DataCoordinator()
+        coordinator.dataframe_from_trajectory(ref_xyz, prefix="dft")
+        df = coordinator.consolidate()
+        db_path = str(tmp_path / "cache.db")
+        io.cache_data(df, db_path)
+        geometries = io.read_database(db_path)
+        assert len(geometries) == len(df)
+        for (name, row), geom in zip(df.iterrows(), geometries):
+            ref = row["geometry"]
+            assert np.allclose(geom.positions, ref.positions)
+            assert np.array_equal(geom.get_atomic_numbers(),
+                                  ref.get_atomic_numbers())
+            assert np.allclose(np.asarray(geom.get_cell()),
+                               np.asarray(ref.get_cell()))
+            assert geom.info["row_name"] == str(name)
+            assert np.isclose(geom.info["energy"],
+                              ref.info["energy"])
+            for c in ("fx", "fy", "fz"):
+                assert np.allclose(geom.arrays[c], ref.arrays[c])
+        # the .db file loads back through the standard pipeline
+        df_db = io.parse_trajectory(db_path, prefix="db")
+        assert len(df_db) == len(df)
+        assert np.allclose(df_db["energy"].values.astype(float),
+                           df["energy"].values.astype(float))
+
+    def test_read_database_slicing(self, tmp_path):
+        geoms = []
+        for i in range(4):
+            g = Atoms("W2", positions=np.random.RandomState(i).rand(2, 3),
+                      cell=np.eye(3) * 4.0, pbc=True)
+            g.info["energy"] = float(i)
+            g.arrays["fx"] = np.zeros(2)
+            g.arrays["fy"] = np.zeros(2)
+            g.arrays["fz"] = np.zeros(2)
+            geoms.append(g)
+        df = io.prepare_dataframe_from_lists(
+            geoms, energies=[g.info["energy"] for g in geoms])
+        db_path = str(tmp_path / "slice.db")
+        io.cache_data(df, db_path)
+        subset = io.read_database(db_path, index=slice(1, 3))
+        assert len(subset) == 2
+        assert subset[0].info["energy"] == 1.0

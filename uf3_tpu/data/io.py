@@ -427,6 +427,8 @@ def parse_trajectory(fname: str,
     basename = os.path.basename(fname)
     if basename.endswith(".xml") or "vasprun" in basename:
         geometries = read_vasprun(fname)
+    elif basename.endswith(".db"):
+        geometries = read_database(fname)
     else:
         geometries = None
         if not scalar_keys and not array_keys:
@@ -712,3 +714,139 @@ def filter_max_forces(df_data: pd.DataFrame,
     if return_values:
         return matches, max_forces
     return matches
+
+
+# ---------------------------------------------------------------------------
+# ase.db (SQLite) interop -- dataset caching without an ase dependency
+# ---------------------------------------------------------------------------
+# Schema-compatible with ase.db's SQLite3 backend (reference
+# uf3/data/io.py:383 read_database, :906 cache_data): numbers as int32
+# blobs, positions/cell/forces as float64 blobs, pbc bit-encoded, user
+# metadata in the key_value_pairs JSON column.
+_ASE_DB_SCHEMA = [
+    """CREATE TABLE IF NOT EXISTS systems (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    unique_id TEXT UNIQUE,
+    ctime REAL, mtime REAL, username TEXT,
+    numbers BLOB, positions BLOB, cell BLOB, pbc INTEGER,
+    initial_magmoms BLOB, initial_charges BLOB, masses BLOB,
+    tags BLOB, momenta BLOB, constraints TEXT,
+    calculator TEXT, calculator_parameters TEXT,
+    energy REAL, free_energy REAL, forces BLOB, stress BLOB,
+    dipole BLOB, magmoms BLOB, magmom REAL, charges BLOB,
+    key_value_pairs TEXT, data TEXT,
+    natoms INTEGER, fmax REAL, smax REAL,
+    volume REAL, mass REAL, charge REAL)""",
+    """CREATE TABLE IF NOT EXISTS information (
+    name TEXT, value TEXT)""",
+]
+
+
+def cache_data(df_data: pd.DataFrame,
+               filename: str,
+               energy_key: str = "energy",
+               serial: bool = False) -> None:
+    """Cache a DataCoordinator dataframe as an ase.db-style SQLite
+    database (geometry + energy + forces + scalar info per row)."""
+    import json
+    import sqlite3
+    import time as _time
+    import uuid
+
+    append = os.path.isfile(filename)
+    con = sqlite3.connect(filename)
+    try:
+        cur = con.cursor()
+        for stmt in _ASE_DB_SCHEMA:
+            cur.execute(stmt)
+        if not append:
+            cur.execute("INSERT INTO information VALUES (?, ?)",
+                        ("version", "9"))
+        now = _time.time()
+        for name, geom in df_data["geometry"].items():
+            energy = float(geom.info.get(energy_key, np.nan))
+            forces = None
+            if all(k in geom.arrays for k in ("fx", "fy", "fz")):
+                forces = np.vstack([geom.arrays["fx"],
+                                    geom.arrays["fy"],
+                                    geom.arrays["fz"]]).T
+            info = {k: v for k, v in geom.info.items()
+                    if isinstance(v, (int, float, str, np.floating))
+                    and k != energy_key}
+            info["row_name"] = str(name)
+            numbers = np.ascontiguousarray(
+                geom.get_atomic_numbers(), dtype=np.int32)
+            positions = np.ascontiguousarray(
+                geom.get_positions(), dtype=np.float64)
+            cell = np.ascontiguousarray(np.asarray(geom.get_cell()),
+                                        dtype=np.float64)
+            pbc_bits = int(np.dot(np.asarray(geom.get_pbc(),
+                                             dtype=int), [1, 2, 4]))
+            cur.execute(
+                """INSERT INTO systems
+                   (unique_id, ctime, mtime, username, numbers,
+                    positions, cell, pbc, energy, forces,
+                    key_value_pairs, natoms)
+                   VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)""",
+                (uuid.uuid4().hex, now, now, "uf3_tpu",
+                 numbers.tobytes(), positions.tobytes(),
+                 cell.tobytes(), pbc_bits,
+                 None if np.isnan(energy) else energy,
+                 None if forces is None
+                 else np.ascontiguousarray(forces,
+                                           np.float64).tobytes(),
+                 json.dumps(info), len(geom)))
+        con.commit()
+    finally:
+        con.close()
+
+
+def read_database(filename: str, index: slice = None) -> List[Atoms]:
+    """Read an ase.db-style SQLite database into Atoms objects (energy
+    into info, forces into fx/fy/fz arrays, key-value pairs merged
+    into info)."""
+    import json
+    import sqlite3
+
+    con = sqlite3.connect(filename)
+    try:
+        cur = con.cursor()
+        count = cur.execute("SELECT COUNT(*) FROM systems"
+                            ).fetchone()[0]
+        if index is None:
+            index = slice(None, None)
+        start, stop, _ = index.indices(count)
+        if start == stop:
+            return []
+        rows = cur.execute(
+            """SELECT numbers, positions, cell, pbc, energy, forces,
+                      key_value_pairs
+               FROM systems ORDER BY id LIMIT ? OFFSET ?""",
+            (stop - start, start)).fetchall()
+    finally:
+        con.close()
+    geometries = []
+    for (numbers, positions, cell, pbc_bits, energy, forces,
+         kv_json) in rows:
+        numbers = np.frombuffer(numbers, dtype=np.int32)
+        positions = np.frombuffer(positions,
+                                  dtype=np.float64).reshape(-1, 3)
+        cell = (np.frombuffer(cell, dtype=np.float64).reshape(3, 3)
+                if cell is not None else None)
+        pbc = [bool(pbc_bits & b) for b in (1, 2, 4)]
+        geom = Atoms(numbers=numbers, positions=positions,
+                     cell=cell if cell is not None
+                     and np.any(cell != 0) else None, pbc=pbc)
+        if energy is not None:
+            geom.info["energy"] = float(energy)
+        if forces is not None:
+            block = np.frombuffer(forces,
+                                  dtype=np.float64).reshape(-1, 3)
+            geom.arrays["fx"] = block[:, 0].copy()
+            geom.arrays["fy"] = block[:, 1].copy()
+            geom.arrays["fz"] = block[:, 2].copy()
+        if kv_json:
+            for k, v in json.loads(kv_json).items():
+                geom.info[k] = v
+        geometries.append(geom)
+    return geometries
