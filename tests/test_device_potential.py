@@ -300,6 +300,50 @@ class TestNPT:
         # expected ~P/B ~ 10% compression; require a clear response
         assert v_comp < 0.96 * v_zero
 
+    def _overflowing_state(self):
+        """System + state whose next neighbor rebuild overflows: the
+        positions are compressed 0.78x (density ~2.1x) after init, so
+        the first chunk's rebuild exceeds the init-sized capacity."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        system = MDSystem(model, geom, dtype=jnp.float64,
+                          rebuild_every=1, skin=0.4)
+        state = system.init_state(temperature=10.0, seed=3)
+        center = jnp.mean(state.positions, axis=0)
+        squeezed = center + 0.78 * (state.positions - center)
+        return system, state._replace(positions=squeezed)
+
+    def test_run_raises_on_overflow(self):
+        """Silent pair truncation cannot survive run(): the overflow
+        flag accumulated across chunk rebuilds raises at return."""
+        system, state = self._overflowing_state()
+        with pytest.raises(RuntimeError, match="capacity exceeded"):
+            system.run(state, n_steps=2, dt_fs=0.1)
+
+    def test_run_warn_on_overflow(self):
+        system, state = self._overflowing_state()
+        with pytest.warns(UserWarning, match="capacity exceeded"):
+            system.run(state, n_steps=2, dt_fs=0.1,
+                       on_overflow="warn")
+
+    def test_run_regrows_on_overflow(self):
+        """on_overflow='regrow' reverts the busted chunk, grows the
+        capacities and completes with full (untruncated) lists."""
+        system, state = self._overflowing_state()
+        cap0 = system.capacity_2b
+        out = system.run(state, n_steps=2, dt_fs=0.1,
+                         on_overflow="regrow")
+        assert system.capacity_2b > cap0
+        assert not system.overflowed(out)
+        # the final forces must match a fresh full-capacity oracle
+        # evaluation at the final positions (no dropped pairs)
+        nbr2, nbr3 = system.build_lists(out.positions, cell=out.cell)
+        _, f_ref, _ = system.energy_forces(out.positions, nbr2, nbr3,
+                                           cell=out.cell)
+        assert np.allclose(np.asarray(out.forces), np.asarray(f_ref),
+                           atol=1e-9)
+
 
 class TestBinaryMD:
     def test_multi_fused_matches_factorized(self):

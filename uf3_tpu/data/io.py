@@ -431,7 +431,13 @@ def parse_trajectory(fname: str,
         geometries = read_database(fname)
     else:
         geometries = None
-        if not scalar_keys and not array_keys:
+        # the C++ tokenizer only recognizes the literal 'energy'/
+        # 'Energy' comment key and the standard force columns; any
+        # other key request must take the general Python parser or the
+        # requested values would silently read as the 0.0 placeholder
+        if (not scalar_keys and not array_keys
+                and energy_key.lower() == "energy"
+                and force_key.lower() in ("force", "forces")):
             geometries = _read_xyz_native(fname)
         if geometries is None:
             geometries = read_xyz(fname)

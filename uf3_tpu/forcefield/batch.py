@@ -58,7 +58,7 @@ def save_md_checkpoint(filename: str, state, system=None) -> None:
     import jax
     key = state.key
     if jnp_is_typed_key(key):
-        key_impl = str(jax.random.key_impl(key))
+        key_impl = _canonical_key_impl(key)
         key_data = np.asarray(jax.random.key_data(key))
     else:
         key_impl = ""
@@ -83,6 +83,21 @@ def jnp_is_typed_key(key) -> bool:
         return False
 
 
+def _canonical_key_impl(key) -> str:
+    """Canonical PRNG impl name for a typed key.  str(key_impl(key))
+    is not a documented stable format across jax versions, so match
+    the key's dtype against freshly-made keys of the known impls and
+    store the plain name; unknown impls fall back to raw key data."""
+    import jax
+    for name in ("threefry2x32", "rbg", "unsafe_rbg"):
+        try:
+            if key.dtype == jax.random.key(0, impl=name).dtype:
+                return name
+        except Exception:
+            continue
+    return ""
+
+
 def load_md_checkpoint(filename: str, system):
     """Restore an MDState from a checkpoint; neighbor lists are
     rebuilt from the stored positions."""
@@ -94,11 +109,27 @@ def load_md_checkpoint(filename: str, system):
     cell = jnp.asarray(data["cell"], dtype=system.dtype)
     nbr2, nbr3 = system.build_lists(positions, cell)
     key_impl = str(data["key_impl"]) if "key_impl" in data else ""
+    key_data = jnp.asarray(data["key"])
+    key = None
     if key_impl:
-        key = jax.random.wrap_key_data(jnp.asarray(data["key"]),
-                                       impl=key_impl)
-    else:
-        key = jnp.asarray(data["key"])
+        try:
+            key = jax.random.wrap_key_data(key_data, impl=key_impl)
+        except Exception:
+            key = None
+    if key is None:
+        # legacy checkpoint or unknown impl string: match the stored
+        # key-data shape against the known impls before giving up
+        for name in ("threefry2x32", "rbg", "unsafe_rbg"):
+            try:
+                probe = jax.random.key_data(
+                    jax.random.key(0, impl=name))
+                if probe.shape == key_data.shape:
+                    key = jax.random.wrap_key_data(key_data, impl=name)
+                    break
+            except Exception:
+                continue
+    if key is None:
+        key = key_data
     return MDState(
         positions=positions,
         velocities=jnp.asarray(data["velocities"],

@@ -430,29 +430,105 @@ class MDSystem:
             cache2=cache2, cache3=cache3)
         return state
 
+    def _grow_capacity(self, factor: float = 1.5):
+        """Grow neighbor-row and cell-bin capacities (recompiles)."""
+        self.capacity_2b = int(np.ceil(self.capacity_2b * factor)) + 1
+        if self.degree > 2:
+            self.capacity_3b = int(np.ceil(self.capacity_3b
+                                           * factor)) + 1
+        for attr in ("_cells_2b", "_cells_3b"):
+            cells = getattr(self, attr, None)
+            if cells is not None:
+                grid_shape, bin_cap, topology = cells
+                setattr(self, attr,
+                        (grid_shape,
+                         int(np.ceil(bin_cap * factor)) + 1, topology))
+
+    def _rebuild_state_lists(self, state: MDState) -> MDState:
+        """Fresh neighbor lists for ``state`` at current capacities."""
+        positions = self._wrap(state.positions, state.cell)
+        nbr2, nbr3 = self.build_lists(positions, cell=state.cell,
+                                      wrapped=True)
+        return state._replace(positions=positions, nbr2=nbr2,
+                              nbr3=nbr3)
+
     def run(self, state: MDState, n_steps: int, dt_fs: float,
             thermostat: Optional[str] = None,
             temperature: float = 300.0,
             tau_fs: float = 100.0,
-            friction_ps: float = 2.0) -> MDState:
+            friction_ps: float = 2.0,
+            on_overflow: str = "raise",
+            check_every: int = 50,
+            max_regrows: int = 4) -> MDState:
         """
         Run n_steps of MD, rebuilding neighbor lists every
         rebuild_every steps; a host loop over one compiled chunk so
         every chunk reuses the same executable.
+
+        Neighbor-capacity overflow (silent pair truncation) cannot
+        survive a run() call: the flag is accumulated on device across
+        every chunk's rebuild and checked at return plus every
+        ``check_every`` chunks (one host sync each).  ``on_overflow``:
+
+        - "raise": RuntimeError at the next check (default);
+        - "warn": warnings.warn, keep going (nearest pairs are kept,
+          so truncation errors are bounded but real);
+        - "regrow": revert the offending chunk, grow row/bin
+          capacities 1.5x (recompiles) and re-run it -- a capacity
+          bust mid-run costs one chunk retry instead of corrupt
+          forces.  Implies a host sync per chunk.
         """
         inner = min(self.rebuild_every, n_steps)
         any_stale = jnp.zeros((), dtype=bool)
+        any_over = jnp.zeros((), dtype=bool)
         remaining = n_steps
+        chunks = 0
+        regrows = 0
         while remaining > 0:
             steps = min(inner, remaining)
+            snapshot = state if on_overflow == "regrow" else None
             state = self._run_chunk(state, n_steps=steps, dt_fs=dt_fs,
                                     thermostat=thermostat,
                                     temperature=temperature,
                                     tau_fs=tau_fs,
                                     friction_ps=friction_ps)
+            if on_overflow == "regrow":
+                if self.overflowed(state):
+                    if regrows >= max_regrows:
+                        raise RuntimeError(
+                            "neighbor capacity still overflowing "
+                            f"after {regrows} regrows")
+                    regrows += 1
+                    self._grow_capacity()
+                    state = self._rebuild_state_lists(snapshot)
+                    continue
+            else:
+                over = state.nbr2.overflow
+                if state.nbr3 is not None:
+                    over = over | state.nbr3.overflow
+                any_over = any_over | over
+                chunks += 1
+                if chunks % max(1, check_every) == 0:
+                    self._check_overflow(any_over, on_overflow)
             any_stale = any_stale | state.stale
             remaining -= steps
+        if on_overflow != "regrow":
+            self._check_overflow(any_over, on_overflow)
         return state._replace(stale=any_stale)
+
+    @staticmethod
+    def _check_overflow(flag, on_overflow: str):
+        if not bool(flag):
+            return
+        message = ("neighbor capacity exceeded during MD: farthest "
+                   "pairs were dropped at a rebuild; increase "
+                   "capacity_2b/capacity_3b (or use "
+                   "on_overflow='regrow')")
+        if on_overflow == "warn":
+            import warnings
+            warnings.warn(message)
+        else:
+            raise RuntimeError(message)
 
     # -- pressure coupling --------------------------------------------------
     def npt_run(self, state: MDState, n_steps: int, dt_fs: float,
@@ -478,10 +554,18 @@ class MDSystem:
         done = 0
         while done < n_steps:
             steps = min(inner, n_steps - done)
+            snapshot = state
             state = self._run_chunk(state, n_steps=steps, dt_fs=dt_fs,
                                     thermostat="langevin",
                                     temperature=temperature,
                                     friction_ps=friction_ps)
+            if self.overflowed(state):
+                # density change outran the capacities: revert, grow
+                # row/bin capacities, and redo the chunk rather than
+                # continue on dropped pairs
+                self._grow_capacity()
+                state = self._rebuild_state_lists(snapshot)
+                continue
             done += steps
             stress = self.stress(state)
             m = self.masses[:, None]

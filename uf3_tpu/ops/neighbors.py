@@ -442,6 +442,17 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
         raise ValueError(f"{n_atoms} atoms exceeds the packed-key "
                          "range of the cell-list builder")
     d2_bits = min(10, 30 - bits_pay)
+    if d2_bits < 6:
+        # the nearest-first overflow-drop guarantee degrades with the
+        # d2 quantization: below ~6 bits (n_atoms > ~2^19) same-bucket
+        # candidates tie-break by shift-code/atom-id, and at 0 bits
+        # (n_atoms > ~2^25) overflow drops become arbitrary.  The drop
+        # order only matters when a row actually overflows (flagged).
+        import warnings
+        warnings.warn(
+            f"cell-list packed key has only {d2_bits} distance bits at "
+            f"{n_atoms} atoms: capacity overflow no longer drops "
+            "strictly farthest-first (overflow is still detected)")
     s_int = nbr_shifts.astype(jnp.int32)
     s_code = ((s_int[:, :, 0] + 1) * 9 + (s_int[:, :, 1] + 1) * 3
               + (s_int[:, :, 2] + 1))                  # (B, 27)
