@@ -291,7 +291,8 @@ class TestNPT:
             state = system.init_state(temperature=100.0, seed=4)
             state, cells = system.npt_run(
                 state, n_steps=100, dt_fs=2.0, temperature=100.0,
-                pressure=pressure, tau_p_fs=20.0, compressibility=0.2)
+                pressure=pressure, tau_p_fs=20.0, compressibility=0.2,
+                barostat="berendsen")
             return float(np.abs(np.linalg.det(cells[-1])))
 
         v_zero = run_npt(0.0)
@@ -299,6 +300,56 @@ class TestNPT:
         v_comp = run_npt(0.2)  # ~32 GPa in eV/A^3
         # expected ~P/B ~ 10% compression; require a clear response
         assert v_comp < 0.96 * v_zero
+
+    def test_scr_npt_ensemble(self):
+        """Per-step stochastic-cell-rescaling NPT: holds the
+        equilibrium volume at P=0 and compresses under pressure, with
+        the barostat integrated inside the jit chunk (no factorized
+        fallback, no per-chunk Berendsen rescale)."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        v0 = geom.get_volume()
+
+        def run_npt(pressure):
+            system = MDSystem(model, geom, dtype=jnp.float64,
+                              rebuild_every=5, skin=0.5)
+            state = system.init_state(temperature=100.0, seed=6)
+            state, cells = system.npt_run(
+                state, n_steps=120, dt_fs=2.0, temperature=100.0,
+                pressure=pressure, tau_p_fs=40.0,
+                compressibility=0.2, barostat="scr")
+            # average the tail to smooth the stochastic term
+            tail = [float(np.abs(np.linalg.det(c)))
+                    for c in cells[-6:]]
+            return float(np.mean(tail))
+
+        v_zero = run_npt(0.0)
+        assert abs(v_zero - v0) / v0 < 0.04
+        v_comp = run_npt(0.2)
+        assert v_comp < 0.97 * v_zero
+
+    def test_fused_virial_matches_factorized(self):
+        """The analytic virial emitted by the fused pair+trio kernels
+        must equal the factorized oracle's (f64)."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        geom.rattle(0.05, seed=11)
+        system = MDSystem(model, geom, dtype=jnp.float64)
+        assert system.trio_bundle is not None  # unary fused path
+        state = system.init_state()
+        e_fused, f_fused, v_fused = system.energy_forces(
+            state.positions, state.nbr2, state.nbr3,
+            with_virial=True)
+        e_ref, f_ref, v_ref = system.energy_forces_virial(
+            state.positions, state.nbr2, state.nbr3)
+        assert v_fused is not None
+        assert np.allclose(np.asarray(v_fused), np.asarray(v_ref),
+                           atol=1e-9)
+        assert np.isclose(float(e_fused), float(e_ref), atol=1e-9)
+        assert np.allclose(np.asarray(f_fused), np.asarray(f_ref),
+                           atol=1e-9)
 
     def _overflowing_state(self):
         """System + state whose next neighbor rebuild overflows: the
@@ -379,6 +430,15 @@ class TestBinaryMD:
             system.cell, state.nbr2, state.nbr3, static=system.static)
         assert np.isclose(float(e_m), float(e_f), atol=1e-9)
         assert np.allclose(np.asarray(f_m), np.asarray(f_f),
+                           atol=1e-9)
+        # fused multi-species analytic virial vs the oracle's
+        _, _, v_m = system.energy_forces(state.positions, state.nbr2,
+                                         state.nbr3, with_virial=True)
+        _, _, v_f = pot.compute_energy_forces(
+            system.params, system.species, state.positions,
+            system.cell, state.nbr2, state.nbr3, static=system.static)
+        assert v_m is not None
+        assert np.allclose(np.asarray(v_m), np.asarray(v_f),
                            atol=1e-9)
 
     def test_binary_md_runs(self, data_dir):

@@ -182,13 +182,25 @@ class MDSystem:
             return positions
         return nb.wrap_positions(positions, cell, self.pbc)
 
+    @staticmethod
+    def _voigt6_to_matrix(v6):
+        """Symmetric (3, 3) virial from the Voigt 6-vector
+        (xx, yy, zz, yz, xz, xy)."""
+        return jnp.stack([
+            jnp.stack([v6[0], v6[5], v6[4]]),
+            jnp.stack([v6[5], v6[1], v6[3]]),
+            jnp.stack([v6[4], v6[3], v6[2]])])
+
     def energy_forces(self, positions, nbr2, nbr3, cell=None,
-                      with_energy=True, cache2=None, cache3=None):
-        """Energy + forces via the fused kernels (virial omitted; use
-        energy_forces_virial for stress).  with_energy=False elides the
-        3-body energy accumulation (forces-only MD inner steps).
-        cache2/cache3 carry per-chunk loop invariants (masks, shift
-        products, transposed index columns) hoisted out of the scan."""
+                      with_energy=True, with_virial=False,
+                      cache2=None, cache3=None):
+        """Energy + forces (+ analytic virial) via the fused kernels.
+        with_energy=False elides the 3-body energy accumulation
+        (forces-only MD inner steps); with_virial=True emits the
+        analytic (3, 3) virial from the same fused pass (None
+        otherwise).  cache2/cache3 carry per-chunk loop invariants
+        (masks, shift products, transposed index columns) hoisted out
+        of the scan."""
         cell = self.cell if cell is None else cell
         if (self.trio_multi is not None and self.pair_multi is not None
                 and nbr3 is not None):
@@ -202,41 +214,58 @@ class MDSystem:
             if cache3 is None:
                 cache3 = pt.build_trio_cache(nbr3, cell, self.dtype,
                                              species=self.species)
-            e2, f2 = pt.pair_forces_multi(
+            out2 = pt.pair_forces_multi(
                 coeffs, positions, cell, nbr2.idx, nbr2.shift,
                 nbr2.mask, specs=specs, with_energy=with_energy,
-                cache=cache2)
-            e3, f3 = pt.trio_forces_multi(
+                with_virial=with_virial, cache=cache2)
+            out3 = pt.trio_forces_multi(
                 self.trio_multi.grids, self.species, positions, cell,
                 nbr3.idx, nbr3.shift, nbr3.mask, nbr3.rev,
                 descs=self.trio_multi.descs,
-                with_energy=with_energy, cache=cache3)
-            return (e1 + e2 + jnp.sum(e3), f2 + f3, None)
+                with_energy=with_energy, with_virial=with_virial,
+                cache=cache3)
+            e2, f2 = out2[0], out2[1]
+            e3, f3 = out3[0], out3[1]
+            virial = self._voigt6_to_matrix(out2[2] + out3[2]) \
+                if with_virial else None
+            return (e1 + e2 + jnp.sum(e3), f2 + f3, virial)
         if self.trio_bundle is not None and nbr3 is not None:
             from uf3_tpu.ops import pallas_trio as pt
             e1 = jnp.sum(self.params.offsets_1b[self.species])
+            v2 = None
             if self.pair_fast is not None:
                 pair_spec, pair_coeff = self.pair_fast
-                e2, f2 = pt.pair_forces_unrolled(
+                out2 = pt.pair_forces_unrolled(
                     pair_coeff, positions, cell, nbr2.idx, nbr2.shift,
                     nbr2.mask, spec=pair_spec,
                     n_basis=pair_spec.n_basis,
-                    with_energy=with_energy, cache=cache2)
+                    with_energy=with_energy,
+                    with_virial=with_virial, cache=cache2)
+                e2, f2 = out2[0], out2[1]
+                if with_virial:
+                    v2 = out2[2]
             else:
-                e2, f2, _ = pot.pair_contributions_fast(
+                e2, f2, v2_mat = pot.pair_contributions_fast(
                     self.params, self.static, self.species, positions,
                     cell, nbr2)
-            e3, f3 = pt.trio_forces_unrolled(
+                e2 = jnp.sum(e2)
+                if with_virial:
+                    v2 = jnp.stack([v2_mat[a, b]
+                                    for a, b in pt.VOIGT_AB])
+            out3 = pt.trio_forces_unrolled(
                 self.trio_bundle.grid, positions, cell, nbr3.idx,
                 nbr3.shift, nbr3.mask, nbr3.rev,
                 spec_l=self.trio_bundle.spec_l,
                 spec_n=self.trio_bundle.spec_n,
                 l_basis=self.trio_bundle.l_basis,
                 n_basis=self.trio_bundle.n_basis,
-                with_energy=with_energy,
+                with_energy=with_energy, with_virial=with_virial,
                 active_bc=self.trio_bundle.active_bc,
                 window=self.trio_bundle.window, cache=cache3)
-            return (e1 + jnp.sum(e2) + jnp.sum(e3), f2 + f3, None)
+            e3, f3 = out3[0], out3[1]
+            virial = self._voigt6_to_matrix(v2 + out3[2]) \
+                if with_virial else None
+            return (e1 + jnp.sum(e2) + jnp.sum(e3), f2 + f3, virial)
         return pot.compute_energy_forces(self.params, self.species,
                                          positions, cell, nbr2,
                                          nbr3, static=self.static)
@@ -289,15 +318,36 @@ class MDSystem:
     # -- integrators --------------------------------------------------------
     def _verlet_step(self, state: MDState, dt, thermostat=None,
                      temperature=None, tau=None, friction=None,
-                     with_energy=True, cache2=None, cache3=None):
+                     with_energy=True, cache2=None, cache3=None,
+                     barostat=None, pressure=0.0, tau_p=None,
+                     beta_t=None, scale=None):
+        """One velocity-Verlet step; optional Langevin / Nose-Hoover
+        thermostat and (barostat='scr') per-step stochastic cell
+        rescaling [Bernetti & Bussi, J. Chem. Phys. 153, 114107
+        (2020)]: d(ln V) = -beta_T/tau_p (P0 - P_int) dt
+        + sqrt(2 kB T beta_T / (V tau_p)) dW, which samples the true
+        NPT ensemble (the reference's melting protocol is LAMMPS NPT,
+        supplement/melting_point/melting_uf.in).  ``scale`` carries
+        the cumulative isotropic cell factor relative to the chunk's
+        cache cell; returns (state, new_scale)."""
         m = self.masses[:, None]
+        cell = state.cell
+        c2, c3 = cache2, cache3
+        if barostat == "scr" and scale is not None:
+            # isotropic scaling: the cached shift @ cell products are
+            # linear in the cell, so rescale instead of rebuilding
+            cell = cell * scale
+            if c2 is not None:
+                c2 = c2._replace(sd=c2.sd * scale)
+            if c3 is not None:
+                c3 = c3._replace(sd=c3.sd * scale)
         v = state.velocities + 0.5 * dt * state.forces / m
         x = state.positions + dt * v
-        energy, forces, _ = self.energy_forces(x, state.nbr2, state.nbr3,
-                                               cell=state.cell,
-                                               with_energy=with_energy,
-                                               cache2=cache2,
-                                               cache3=cache3)
+        with_virial = barostat == "scr"
+        energy, forces, virial = self.energy_forces(
+            x, state.nbr2, state.nbr3, cell=cell,
+            with_energy=with_energy, with_virial=with_virial,
+            cache2=c2, cache3=c3)
         v = v + 0.5 * dt * forces / m
         key = state.key
         xi = state.xi
@@ -306,36 +356,62 @@ class MDSystem:
         if thermostat == "langevin":
             key, sub = jax.random.split(key)
             c1 = jnp.exp(-friction * dt)
-            c2 = jnp.sqrt((1 - c1 ** 2) * units.kB * temperature / m)
-            v = c1 * v + c2 * jax.random.normal(sub, v.shape,
+            cn = jnp.sqrt((1 - c1 ** 2) * units.kB * temperature / m)
+            v = c1 * v + cn * jax.random.normal(sub, v.shape,
                                                 dtype=v.dtype)
         elif thermostat == "nose_hoover":
             ke = 0.5 * jnp.sum(m * v * v)
             q = dof * units.kB * temperature * tau ** 2
             xi = xi + dt * (2.0 * ke - dof * units.kB * temperature) / q
             v = v * jnp.exp(-xi * dt)
+        if barostat == "scr":
+            ke = 0.5 * jnp.sum(m * v * v)
+            volume = jnp.abs(jnp.linalg.det(cell))
+            p_int = (2.0 * ke - (virial[0, 0] + virial[1, 1]
+                                 + virial[2, 2])) / (3.0 * volume)
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, (), dtype=x.dtype)
+            d_eps = (-(beta_t / tau_p) * (pressure - p_int) * dt
+                     + jnp.sqrt(2.0 * units.kB * temperature * beta_t
+                                * dt / (volume * tau_p)) * noise)
+            lam = jnp.exp(d_eps / 3.0)
+            x = x * lam
+            v = v / lam
+            scale = scale * lam
         stale = state.stale | nb.needs_rebuild(state.nbr2, x,
                                                self.skin_2b)
         if self.two_tier:
             stale = stale | nb.needs_rebuild(state.nbr3, x, self.skin)
-        return MDState(positions=x, velocities=v, forces=forces,
-                       energy=energy, nbr2=state.nbr2, nbr3=state.nbr3,
-                       key=key, xi=xi, stale=stale, cell=state.cell)
+        out = MDState(positions=x, velocities=v, forces=forces,
+                      energy=energy, nbr2=state.nbr2, nbr3=state.nbr3,
+                      key=key, xi=xi, stale=stale, cell=state.cell)
+        if barostat == "scr":
+            return out, scale
+        return out
 
     # note: state buffers alias (neighbor reference positions share the
     # positions buffer at init), so whole-state donation is not valid;
     # the state is rebuilt functionally each call.
     @functools.partial(jax.jit, static_argnums=(0,),
-                       static_argnames=("n_steps", "dt_fs", "thermostat"))
+                       static_argnames=("n_steps", "dt_fs", "thermostat",
+                                        "barostat"))
     def _run_chunk(self, state: MDState, n_steps: int, dt_fs: float,
                    thermostat: Optional[str] = None,
                    temperature: float = 300.0,
                    tau_fs: float = 100.0,
-                   friction_ps: float = 2.0) -> MDState:
+                   friction_ps: float = 2.0,
+                   barostat: Optional[str] = None,
+                   pressure: float = 0.0,
+                   tau_p_fs: float = 1000.0,
+                   compressibility: float = 5e-3) -> MDState:
         """One jit-compiled chunk: neighbor rebuild + n_steps of MD."""
         dt = jnp.asarray(dt_fs * units.fs, dtype=self.dtype)
         tau = tau_fs * units.fs
         friction = friction_ps / units.ps
+        tau_p = tau_p_fs * units.fs
+        baro_kw = dict(barostat=barostat, pressure=pressure,
+                       tau_p=tau_p, beta_t=compressibility) \
+            if barostat == "scr" else {}
 
         # adaptive rebuild: refresh the lists only when atoms have used
         # up half of the skin margin (the other half covers this
@@ -402,32 +478,40 @@ class MDSystem:
                                          species=self.species)
 
         def fast_step(carry, _):
-            x, v, f, key, xi, stale_c = carry
+            x, v, f, key, xi, stale_c, scale_c = carry
             s = MDState(positions=x, velocities=v, forces=f,
                         energy=energy0, nbr2=nbr2, nbr3=nbr3, key=key,
                         xi=xi, stale=stale_c, cell=cell)
-            s = self._verlet_step(
+            out = self._verlet_step(
                 s, dt, thermostat=thermostat, temperature=temperature,
                 tau=tau, friction=friction, with_energy=False,
-                cache2=cache2, cache3=cache3)
+                cache2=cache2, cache3=cache3, scale=scale_c,
+                **baro_kw)
+            s, scale_c = out if barostat == "scr" else (out, scale_c)
             return (s.positions, s.velocities, s.forces, s.key, s.xi,
-                    s.stale), None
+                    s.stale, scale_c), None
 
         # forces-only inner steps; the chunk's last step also computes
         # the potential energy for state bookkeeping
+        scale = jnp.ones((), dtype=self.dtype)
         if n_steps > 1:
             carry = (state.positions, state.velocities, state.forces,
-                     state.key, state.xi, state.stale)
+                     state.key, state.xi, state.stale, scale)
             carry, _ = jax.lax.scan(fast_step, carry, None,
                                     length=n_steps - 1)
-            x, v, f, key, xi, stale_c = carry
+            x, v, f, key, xi, stale_c, scale = carry
             state = MDState(positions=x, velocities=v, forces=f,
                             energy=energy0, nbr2=nbr2, nbr3=nbr3,
                             key=key, xi=xi, stale=stale_c, cell=cell)
-        state = self._verlet_step(
+        out = self._verlet_step(
             state, dt, thermostat=thermostat, temperature=temperature,
             tau=tau, friction=friction, with_energy=True,
-            cache2=cache2, cache3=cache3)
+            cache2=cache2, cache3=cache3, scale=scale, **baro_kw)
+        if barostat == "scr":
+            state, scale = out
+            state = state._replace(cell=state.cell * scale)
+        else:
+            state = out
         return state
 
     def _grow_capacity(self, factor: float = 1.5):
@@ -537,24 +621,47 @@ class MDSystem:
                 tau_p_fs: float = 1000.0,
                 compressibility: float = 5e-3,
                 friction_ps: float = 2.0,
+                barostat: str = "scr",
                 atoms_template=None):
         """
-        NPT via Langevin NVT chunks + Berendsen pressure coupling: after
-        every neighbor-rebuild chunk the cell and positions are scaled
-        by (1 - dt/tau_p * beta * (P0 - P))^(1/3) using the analytic
-        virial pressure.  Covers the reference's melting-point protocol
-        (supplement/melting_point/melting_uf.in: 2-phase NPT).
+        NPT molecular dynamics (Langevin thermostat).  Barostats:
 
-        Returns (state, cell_history).  Note: the system's cell is
-        mutated; neighbor capacities must absorb the density change.
+        - "scr" (default): per-step stochastic cell rescaling
+          integrated inside the jit chunk [Bernetti & Bussi, J. Chem.
+          Phys. 153, 114107 (2020)]: d(ln V) = -beta_T/tau_p
+          (P0 - P_int) dt + sqrt(2 kB T beta_T / (V tau_p)) dW with
+          the pressure from the analytic fused-kernel virial every
+          step.  Samples the true NPT ensemble -- the TPU-native
+          counterpart of the reference's LAMMPS Nose-Hoover NPT
+          melting protocol (supplement/melting_point/melting_uf.in).
+        - "berendsen": legacy per-chunk Berendsen rescale by
+          (1 - dt/tau_p * beta * (P0 - P))^(1/3) (approximate; does
+          not sample the NPT ensemble).
+
+        Returns (state, cell_history: one (3, 3) cell per chunk).
+        The system's cell is mutated; neighbor capacities absorb
+        density changes by regrow-on-overflow.
         """
-        from uf3_tpu.ops import potential as potmod
         cells = []
         inner = min(self.rebuild_every, n_steps)
         done = 0
         while done < n_steps:
             steps = min(inner, n_steps - done)
             snapshot = state
+            if barostat == "scr":
+                state = self._run_chunk(
+                    state, n_steps=steps, dt_fs=dt_fs,
+                    thermostat="langevin", temperature=temperature,
+                    friction_ps=friction_ps, barostat="scr",
+                    pressure=pressure, tau_p_fs=tau_p_fs,
+                    compressibility=compressibility)
+                if self.overflowed(state):
+                    self._grow_capacity()
+                    state = self._rebuild_state_lists(snapshot)
+                    continue
+                done += steps
+                cells.append(np.asarray(state.cell))
+                continue
             state = self._run_chunk(state, n_steps=steps, dt_fs=dt_fs,
                                     thermostat="langevin",
                                     temperature=temperature,
@@ -601,9 +708,10 @@ class MDSystem:
         return float(0.5 * jnp.sum(m * state.velocities ** 2))
 
     def stress(self, state: MDState):
-        _, _, virial = self.energy_forces_virial(state.positions,
-                                                 state.nbr2, state.nbr3,
-                                                 cell=state.cell)
+        """Voigt stress from the analytic virial (fused fast path)."""
+        _, _, virial = self.energy_forces(state.positions, state.nbr2,
+                                          state.nbr3, cell=state.cell,
+                                          with_virial=True)
         volume = jnp.abs(jnp.linalg.det(state.cell))
         return pot.stress_voigt(virial, volume)
 

@@ -300,10 +300,33 @@ def _dense_basis(r, valid, spec: LegSpec, lo: int = 0, hi: int = None,
     return mats[0], mats[1]
 
 
+VOIGT_AB = ((0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1))
+
+
+def _trio_virial6(comps, wr, t3_flat, r_mn):
+    """Analytic per-block 3-body virial in Voigt order
+    (xx, yy, zz, yz, xz, xy).  Matches the factorized oracle
+    (uf3_tpu/ops/potential.py trio_contributions): the g1+g2 leg terms
+    collapse to sum_m (w_m / r) d (x) d by neighbor-exchange symmetry
+    of the decompressed grids, and the third leg contributes
+    1/2 sum_mn (t3 / r_mn) d_mn (x) d_mn over ordered pair lanes."""
+    k = comps[0].shape[1]
+    diffs = tuple(jnp.tile(dc, (1, k)) - jnp.repeat(dc, k, axis=-1)
+                  for dc in comps)
+    g3f = t3_flat / r_mn
+    out = []
+    for a, b in VOIGT_AB:
+        v12 = jnp.sum(wr * comps[a] * comps[b])
+        v3t = 0.5 * jnp.sum(g3f * diffs[a] * diffs[b])
+        out.append(v12 + v3t)
+    return jnp.stack(out)
+
+
 def _trio_block_compute(comps, valid, grid,
                         spec_l: LegSpec, spec_n: LegSpec,
                         l_dim: int, nc: int,
                         with_energy: bool = True,
+                        with_virial: bool = False,
                         active_bc=None,
                         window=None,
                         pair_pre=None):
@@ -391,6 +414,9 @@ def _trio_block_compute(comps, valid, grid,
     # reduce; a batched (K x K)@(K x 3) dot_general runs at tiny-matmul
     # MXU efficiency and costs more than the whole VPU pass
     v3 = tuple(jnp.sum(g3p * dc[:, None, :], axis=2) for dc in comps)
+    if with_virial:
+        v6 = _trio_virial6(comps, wr, t3, r_mn)
+        return energy, f_center, w_m, s3, v3, v6
     return energy, f_center, w_m, s3, v3
 
 
@@ -522,12 +548,14 @@ def make_trio_kernel(spec_l: LegSpec, spec_n: LegSpec,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spec", "n_basis", "with_energy"))
+                   static_argnames=("spec", "n_basis", "with_energy",
+                                    "with_virial"))
 def pair_forces_unrolled(coefficients,
                          positions, cell, nbr_idx, nbr_shift, nbr_mask,
                          spec: LegSpec = None,
                          n_basis: int = 0,
                          with_energy: bool = True,
+                         with_virial: bool = False,
                          cache: Optional[ForceCache] = None):
     """
     Single-pair-type 2-body energy + forces with closed-form interval
@@ -577,6 +605,13 @@ def pair_forces_unrolled(coefficients,
     w_pair = 2.0 * dv_sum * valid_f / r
     forces = jnp.stack([jnp.sum(w_pair * dc, axis=1) for dc in comps],
                        axis=-1)
+    if with_virial:
+        # oracle convention (potential.py pair_contributions): sum of
+        # (dvdr / r) d (x) d over ordered pairs, Voigt order
+        w_v = 0.5 * w_pair
+        virial = jnp.stack([jnp.sum(w_v * comps[a] * comps[b])
+                            for a, b in VOIGT_AB])
+        return energy, forces, virial
     return energy, forces
 
 
@@ -829,8 +864,8 @@ def _assemble_forces(energy, f_center, packed, comps, r,
 @functools.partial(jax.jit,
                    static_argnames=("spec_l", "spec_n", "l_basis",
                                     "n_basis", "block_atoms",
-                                    "with_energy", "active_bc",
-                                    "window"))
+                                    "with_energy", "with_virial",
+                                    "active_bc", "window"))
 def trio_forces_unrolled(grid,
                          positions, cell, nbr_idx, nbr_shift, nbr_mask,
                          nbr_rev,
@@ -840,6 +875,7 @@ def trio_forces_unrolled(grid,
                          n_basis: int = 0,
                          block_atoms: int = 512,
                          with_energy: bool = True,
+                         with_virial: bool = False,
                          active_bc=None,
                          window=None,
                          cache: Optional[ForceCache] = None):
@@ -848,7 +884,8 @@ def trio_forces_unrolled(grid,
     computation applied blockwise with lax.map to bound intermediate
     materialization.  Used when Mosaic compilation is unavailable.
     With ``with_energy=False`` the value-accumulation chain is elided
-    (MD inner steps need forces only).
+    (MD inner steps need forces only).  With ``with_virial=True`` the
+    return gains the analytic Voigt virial (xx, yy, zz, yz, xz, xy).
     """
     n_atoms, capacity = nbr_idx.shape
     if cache is None:
@@ -880,22 +917,28 @@ def trio_forces_unrolled(grid,
 
     def block_fn(args):
         cx, cy, cz, m_b, p_b = args
-        energy, f_center, s1, s3, v3 = _trio_block_compute(
+        out = _trio_block_compute(
             (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis, n_basis,
-            with_energy=with_energy, active_bc=active_bc,
-            window=window, pair_pre=p_b)
+            with_energy=with_energy, with_virial=with_virial,
+            active_bc=active_bc, window=window, pair_pre=p_b)
+        energy, f_center, s1, s3, v3 = out[:5]
         # pack inside the block so lax.map writes the gather-ready
         # layout directly, flattened to full-lane (BA, K*8) tiles (a
         # minor-dim-8 block store pays 16x tile padding on HBM writes)
-        return (energy, jnp.stack(f_center, axis=-1),
-                _pack_partials(s1, s3, v3))
+        packed = (energy, jnp.stack(f_center, axis=-1),
+                  _pack_partials(s1, s3, v3))
+        return packed + (out[5],) if with_virial else packed
 
-    energy, f_center, packed = jax.lax.map(
-        block_fn, c_blocks + (m_blocks, p_blocks))
+    outs = jax.lax.map(block_fn, c_blocks + (m_blocks, p_blocks))
+    energy, f_center, packed = outs[:3]
     energy = energy.reshape(-1)[:n_atoms]
     f_center = f_center.reshape(-1, 3)[:n_atoms]
     packed = packed.reshape(-1, capacity * 8)[:n_atoms]
-    return _assemble_forces(energy, f_center, packed, comps, r, cache)
+    result = _assemble_forces(energy, f_center, packed, comps, r,
+                              cache)
+    if with_virial:
+        return result + (jnp.sum(outs[3], axis=0),)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -981,7 +1024,8 @@ def build_trio_multi(model, dtype=jnp.float32):
 
 
 def _trio_block_compute_multi(comps, valid_f, s_slot, s_center, grids,
-                              descs, with_energy=True, pair_pre=None):
+                              descs, with_energy=True,
+                              with_virial=False, pair_pre=None):
     """Multi-type twin of _trio_block_compute: distances, pair-lane
     masks and the rev-ready output layout are shared; each ordered trio
     type contributes its own species-gated dense bases and chains."""
@@ -1071,18 +1115,22 @@ def _trio_block_compute_multi(comps, valid_f, s_slot, s_center, grids,
     g3p = (t3 / r_mn).reshape(ba, k, k)
     s3 = jnp.sum(g3p, axis=2)
     v3 = tuple(jnp.sum(g3p * dc[:, None, :], axis=2) for dc in comps)
+    if with_virial:
+        v6 = _trio_virial6(comps, wr, t3, r_mn)
+        return energy, f_center, w_m, s3, v3, v6
     return energy, f_center, w_m, s3, v3
 
 
 @functools.partial(jax.jit,
                    static_argnames=("descs", "block_atoms",
-                                    "with_energy"))
+                                    "with_energy", "with_virial"))
 def trio_forces_multi(grids, species,
                       positions, cell, nbr_idx, nbr_shift, nbr_mask,
                       nbr_rev,
                       descs: Tuple = None,
                       block_atoms: int = 512,
                       with_energy: bool = True,
+                      with_virial: bool = False,
                       cache: Optional[ForceCache] = None):
     """Fused multi-species 3-body energy + forces.  ``species`` is the
     compact per-atom species index array; grids is the per-type tuple
@@ -1121,18 +1169,26 @@ def trio_forces_multi(grids, species,
 
     def block_fn(args):
         cx, cy, cz, m_b, p_b, s_b, sc_b = args
-        energy, f_center, s1, s3, v3 = _trio_block_compute_multi(
+        out = _trio_block_compute_multi(
             (cx, cy, cz), m_b, s_b, sc_b, grids, descs,
-            with_energy=with_energy, pair_pre=p_b)
-        return (energy, jnp.stack(f_center, axis=-1),
-                _pack_partials(s1, s3, v3))
+            with_energy=with_energy, with_virial=with_virial,
+            pair_pre=p_b)
+        energy, f_center, s1, s3, v3 = out[:5]
+        packed = (energy, jnp.stack(f_center, axis=-1),
+                  _pack_partials(s1, s3, v3))
+        return packed + (out[5],) if with_virial else packed
 
-    energy, f_center, packed = jax.lax.map(
+    outs = jax.lax.map(
         block_fn, c_blocks + (m_blocks, p_blocks, s_blocks, sc_blocks))
+    energy, f_center, packed = outs[:3]
     energy = energy.reshape(-1)[:n_atoms]
     f_center = f_center.reshape(-1, 3)[:n_atoms]
     packed = packed.reshape(-1, capacity * 8)[:n_atoms]
-    return _assemble_forces(energy, f_center, packed, comps, r, cache)
+    result = _assemble_forces(energy, f_center, packed, comps, r,
+                              cache)
+    if with_virial:
+        return result + (jnp.sum(outs[3], axis=0),)
+    return result
 
 
 def build_pair_multi(model, dtype=jnp.float32):
@@ -1173,11 +1229,13 @@ def build_pair_multi(model, dtype=jnp.float32):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("specs", "with_energy"))
+                   static_argnames=("specs", "with_energy",
+                                    "with_virial"))
 def pair_forces_multi(coeffs, positions, cell, nbr_idx, nbr_shift,
                       nbr_mask,
                       specs: Tuple = None,
                       with_energy: bool = True,
+                      with_virial: bool = False,
                       cache: Optional[ForceCache] = None):
     """Fused multi-pair-type 2-body energy + forces: one displacement
     gather shared by all types, per-type spline chains gated by the
@@ -1225,4 +1283,9 @@ def pair_forces_multi(coeffs, positions, cell, nbr_idx, nbr_shift,
     w_pair = 2.0 * dv_sum / r
     forces = jnp.stack([jnp.sum(w_pair * dc, axis=1) for dc in comps],
                        axis=-1)
+    if with_virial:
+        w_v = 0.5 * w_pair
+        virial = jnp.stack([jnp.sum(w_v * comps[a] * comps[b])
+                            for a, b in VOIGT_AB])
+        return energy, forces, virial
     return energy, forces
