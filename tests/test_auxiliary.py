@@ -107,6 +107,64 @@ class TestLammpsExport:
         trio = config.interactions_map[3][0]
         shape = tuple(len(s) - 4 for s in config.knots_map[trio])
         assert f"{shape[0]} {shape[1]} {shape[2]}" in text
+        # header trims are the C++-parseable per-degree integers, not
+        # python dict reprs (caught by the round-trip parser)
+        assert "{" not in text
+
+    def test_uf3_pot_round_trip(self, tmp_path):
+        """export -> parse -> evaluate through the framework's own
+        kernels: the written .uf3 file must carry exactly the model
+        the C++ pair_style uf3 would consume (reference has no reader:
+        generate_uf3_lammps_pots.py:60-165 is write-only)."""
+        from uf3_tpu.forcefield.calculator import UFCalculator
+        model = self._model()
+        path = lammps.write_uf3_lammps_pot_files(
+            model=model, pot_dir=str(tmp_path))
+        model2 = lammps.model_from_uf3_pot_file(path)
+        geom = bulk("W", "bcc", a=3.1652) * 2
+        geom.rattle(0.05, seed=3)
+        f1 = UFCalculator(model).get_forces(geom)
+        f2 = UFCalculator(model2).get_forces(geom)
+        assert np.abs(f1 - f2).max() < 1e-8
+        # 1-body offsets are not part of the file format; everything
+        # else must round-trip bit-exactly
+        n1 = len(model.bspline_config.element_list)
+        assert np.array_equal(model.coefficients[n1:],
+                              model2.coefficients[n1:])
+
+    def test_uf3_pot_round_trip_binary(self, tmp_path):
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("tests", "data", "model_binary.json"))
+        path = lammps.write_uf3_lammps_pot_files(
+            model=model, pot_dir=str(tmp_path))
+        model2 = lammps.model_from_uf3_pot_file(path)
+        n1 = len(model.bspline_config.element_list)
+        assert np.array_equal(model.coefficients[n1:],
+                              model2.coefficients[n1:])
+        assert (model2.bspline_config.chemical_system.element_list
+                == model.bspline_config.chemical_system.element_list)
+
+    def test_tabulated_round_trip(self, tmp_path):
+        """Table file -> parse -> values match the source spline with
+        the x2 bond convention."""
+        from uf3_tpu.representation import splines as sp
+        model = self._model()
+        pair = model.bspline_config.interactions_map[2][0]
+        knots = model.bspline_config.knots_map[pair]
+        sizes, offsets = \
+            model.bspline_config.get_interaction_partitions()
+        coeff = model.coefficients[offsets[pair]:offsets[pair]
+                                   + sizes[pair]]
+        path = str(tmp_path / "W_W.table")
+        lammps.export_tabulated_potential(knots, coeff, pair, grid=64,
+                                          filename=path, rounding=10)
+        parsed = lammps.read_tabulated_potential(path)
+        assert parsed["keyword"] == "UF_W-W"
+        r = np.clip(parsed["r"], knots[0], knots[-1] - 1e-12)
+        expected = 2 * sp.evaluate_spline(r, knots, coeff)
+        assert np.allclose(parsed["energy"], expected, atol=1e-8)
+        expected_f = -2 * sp.evaluate_spline(r, knots, coeff, nu=1)
+        assert np.allclose(parsed["force"], expected_f, atol=1e-8)
 
     def test_write_lammps_data(self, tmp_path):
         geom = bulk("W", "bcc", a=3.16) * 2
@@ -115,6 +173,54 @@ class TestLammpsExport:
         text = open(path).read()
         assert "16 atoms" in text
         assert "1 atom types" in text
+
+
+class TestAseAdapter:
+    """Optional ase interop (reference's calculator subclasses
+    ase.Calculator directly, uf3/forcefield/calculator.py:40; here ase
+    is optional and the adapter wraps UFCalculator)."""
+
+    def test_import_without_ase(self):
+        from uf3_tpu.forcefield import ase_adapter
+        # module import never requires ase
+        assert hasattr(ase_adapter, "UFAseCalculator")
+        if not ase_adapter.HAVE_ASE:
+            model = ls.WeightedLinearModel.from_json(
+                os.path.join("benchmarks_data", "model_2and3.json"))
+            with pytest.raises(ImportError):
+                ase_adapter.UFAseCalculator(model)
+
+    def test_from_ase_duck_typed(self):
+        """from_ase accepts anything with the ase accessor quartet --
+        including this framework's own Atoms."""
+        from uf3_tpu.forcefield import ase_adapter
+        geom = bulk("W", "bcc", a=3.16)
+        converted = ase_adapter.from_ase(geom)
+        assert np.allclose(converted.get_positions(),
+                           geom.get_positions())
+        assert np.array_equal(converted.get_atomic_numbers(),
+                              geom.get_atomic_numbers())
+
+    @pytest.mark.skipif(
+        not __import__("importlib").util.find_spec("ase"),
+        reason="ase not installed")
+    def test_ase_calculator(self):
+        import ase
+        from uf3_tpu.forcefield.ase_adapter import UFAseCalculator
+        from uf3_tpu.forcefield.calculator import UFCalculator
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 2
+        geom.rattle(0.03, seed=1)
+        ase_atoms = ase.Atoms(numbers=geom.get_atomic_numbers(),
+                              positions=geom.get_positions(),
+                              cell=geom.get_cell(), pbc=True)
+        ase_atoms.calc = UFAseCalculator(model)
+        oracle = UFCalculator(model)
+        assert np.isclose(ase_atoms.get_potential_energy(),
+                          oracle.get_potential_energy(geom))
+        assert np.allclose(ase_atoms.get_forces(),
+                           oracle.get_forces(geom))
 
 
 class TestUserConfig:

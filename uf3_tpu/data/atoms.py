@@ -221,9 +221,53 @@ class Atoms:
 def bulk(symbol: str,
          structure: str = "bcc",
          a: float = 3.16,
+         c: Optional[float] = None,
          cubic: bool = True) -> Atoms:
-    """Build a conventional cubic cell of a common crystal structure."""
+    """Build a common crystal structure.
+
+    ``cubic=True`` gives the conventional cubic cell for sc/bcc/fcc/
+    diamond; ``cubic=False`` gives the primitive cell (1 atom for
+    bcc/fcc, 2 for diamond).  ``hcp`` always uses its 2-atom hexagonal
+    cell (``c`` defaults to the ideal ratio a*sqrt(8/3)).  Mirrors the
+    subset of ase.build.bulk the reference relies on (the reference
+    delegates crystal construction to ase throughout).
+    """
     z = el.atomic_numbers[symbol]
+    if structure == "hcp":
+        if c is None:
+            c = a * np.sqrt(8.0 / 3.0)
+        cell = np.array([[a, 0.0, 0.0],
+                         [-0.5 * a, 0.5 * np.sqrt(3.0) * a, 0.0],
+                         [0.0, 0.0, c]])
+        frac = np.array([[0.0, 0.0, 0.0],
+                         [1.0 / 3.0, 2.0 / 3.0, 0.5]])
+        positions = frac @ cell
+        return Atoms(numbers=[z] * 2, positions=positions, cell=cell,
+                     pbc=True)
+    if not cubic:
+        if structure == "bcc":
+            cell = 0.5 * a * np.array([[-1.0, 1.0, 1.0],
+                                       [1.0, -1.0, 1.0],
+                                       [1.0, 1.0, -1.0]])
+            frac = np.array([[0.0, 0.0, 0.0]])
+        elif structure == "fcc":
+            cell = 0.5 * a * np.array([[0.0, 1.0, 1.0],
+                                       [1.0, 0.0, 1.0],
+                                       [1.0, 1.0, 0.0]])
+            frac = np.array([[0.0, 0.0, 0.0]])
+        elif structure == "diamond":
+            cell = 0.5 * a * np.array([[0.0, 1.0, 1.0],
+                                       [1.0, 0.0, 1.0],
+                                       [1.0, 1.0, 0.0]])
+            frac = np.array([[0.0, 0.0, 0.0], [0.25, 0.25, 0.25]])
+        elif structure == "sc":
+            cell = np.eye(3) * a
+            frac = np.array([[0.0, 0.0, 0.0]])
+        else:
+            raise ValueError(f"Unknown structure: {structure}")
+        positions = frac @ cell
+        return Atoms(numbers=[z] * len(frac), positions=positions,
+                     cell=cell, pbc=True)
     cell = np.eye(3) * a
     if structure == "sc":
         frac = np.array([[0.0, 0.0, 0.0]])
@@ -238,8 +282,6 @@ def bulk(symbol: str,
         frac = np.concatenate([fcc, fcc + 0.25], axis=0)
     else:
         raise ValueError(f"Unknown structure: {structure}")
-    if not cubic:
-        raise NotImplementedError("Only conventional cubic cells supported.")
     positions = frac @ cell
     return Atoms(numbers=[z] * len(frac), positions=positions, cell=cell,
                  pbc=True)

@@ -140,7 +140,7 @@ def write_uf3_lammps_pot_files(chemical_sys=None,
         text = (f"#UF3 POT UNITS: {lammps_units} DATE: {now} "
                 f"AUTHOR: {author} CITATION:\n")
         text += (f"2B {interaction[0]} {interaction[1]} "
-                 f"{config.leading_trim} {config.trailing_trim} "
+                 f"{config.leading_trim[2]} {config.trailing_trim[2]} "
                  f"{knots_spacing_type}\n")
         knots = config.knots_map[interaction]
         text += f"{config.r_max_map[interaction]} {len(knots)}\n"
@@ -157,7 +157,7 @@ def write_uf3_lammps_pot_files(chemical_sys=None,
         text = (f"#UF3 POT UNITS: {lammps_units} DATE: {now} "
                 f"AUTHOR: {author} CITATION:\n")
         text += (f"3B {interaction[0]} {interaction[1]} {interaction[2]} "
-                 f"{config.leading_trim} {config.trailing_trim} "
+                 f"{config.leading_trim[3]} {config.trailing_trim[3]} "
                  f"{knots_spacing_type}\n")
         r_max = config.r_max_map[interaction]
         seqs = config.knots_map[interaction]
@@ -178,6 +178,160 @@ def write_uf3_lammps_pot_files(chemical_sys=None,
         for text in blocks.values():
             f.write(text)
     return path
+
+
+def read_tabulated_potential(source: str) -> Dict:
+    """
+    Parse a ``pair_style table`` file written by
+    ``export_tabulated_potential`` (or LAMMPS itself) back into arrays.
+
+    Returns dict with 'r', 'energy', 'force' (as stored in the file,
+    i.e. carrying the x2 bond convention) and 'keyword'.  Inverse of
+    the exporter; used to validate export byte-semantics against the
+    source model (reference format: uf3/forcefield/lammps.py:218-271).
+    """
+    if os.path.isfile(source):
+        with open(source) as f:
+            text = f.read()
+    else:
+        text = source
+    keyword = None
+    n_expected = None
+    rows = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("N ") and n_expected is None:
+            n_expected = int(line.split()[1])
+            continue
+        parts = line.split()
+        if len(parts) == 4:
+            try:
+                rows.append([float(p) for p in parts[1:]])
+                continue
+            except ValueError:
+                pass
+        if keyword is None and len(parts) == 1:
+            keyword = parts[0]
+    data = np.asarray(rows)
+    if n_expected is not None and len(data) != n_expected:
+        raise ValueError(f"table declares N {n_expected} but has "
+                         f"{len(data)} rows")
+    return dict(keyword=keyword, r=data[:, 0], energy=data[:, 1],
+                force=data[:, 2])
+
+
+def read_uf3_lammps_pot_file(path: str) -> Dict:
+    """
+    Parse a combined native ``pair_style uf3`` potential file back into
+    its blocks (inverse of ``write_uf3_lammps_pot_files``; format per
+    lammps_plugin/scripts/generate_uf3_lammps_pots.py:58-165).
+
+    Returns dict with:
+      'elements'   -- sorted element symbols seen in any block
+      'degree'     -- 3 if any 3B block is present else 2
+      'trims'      -- (leading, trailing) from the block headers
+      'knots_map'  -- interaction tuple -> knot vector (2B) or
+                      [ij, ik, jk] knot vectors (3B, exporter order)
+      'coefficients' -- interaction tuple -> coefficient vector (2B) or
+                      full L x M x N grid (3B)
+    suitable for ``model_from_uf3_pot_file``.
+    """
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    blocks: List[List[str]] = []
+    current: List[str] = []
+    for line in lines:
+        if line.startswith("#UF3 POT"):
+            current = []
+            continue
+        if line.strip() == "#":
+            if current:
+                blocks.append(current)
+            current = []
+            continue
+        if line.strip():
+            current.append(line)
+    if current:
+        blocks.append(current)
+    knots_map: Dict[Tuple, np.ndarray] = {}
+    coefficients: Dict[Tuple, np.ndarray] = {}
+    elements_seen = []
+    degree = 2
+    leading: Dict[int, int] = {}
+    trailing: Dict[int, int] = {}
+    for block in blocks:
+        header = block[0].split()
+        kind = header[0]
+        if kind == "2B":
+            el = (header[1], header[2])
+            leading[2], trailing[2] = int(header[3]), int(header[4])
+            n_knots = int(block[1].split()[1])
+            knots = np.asarray([float(v) for v in block[2].split()])
+            if len(knots) != n_knots:
+                raise ValueError("2B knot count mismatch")
+            n_coeff = int(block[3].split()[0])
+            coeff = np.asarray([float(v) for v in block[4].split()])
+            if len(coeff) != n_coeff:
+                raise ValueError("2B coefficient count mismatch")
+            knots_map[el] = knots
+            coefficients[el] = coeff
+            for e in el:
+                if e not in elements_seen:
+                    elements_seen.append(e)
+        elif kind == "3B":
+            degree = 3
+            trio = (header[1], header[2], header[3])
+            leading[3], trailing[3] = int(header[4]), int(header[5])
+            meta = block[1].split()
+            n_jk, n_ik, n_ij = (int(meta[3]), int(meta[4]),
+                                int(meta[5]))
+            seq_jk = np.asarray([float(v) for v in block[2].split()])
+            seq_ik = np.asarray([float(v) for v in block[3].split()])
+            seq_ij = np.asarray([float(v) for v in block[4].split()])
+            if (len(seq_jk), len(seq_ik), len(seq_ij)) != (n_jk, n_ik,
+                                                           n_ij):
+                raise ValueError("3B knot count mismatch")
+            shape = tuple(int(v) for v in block[5].split())
+            values = []
+            for line in block[6:]:
+                values.extend(float(v) for v in line.split())
+            grid = np.asarray(values).reshape(shape)
+            knots_map[trio] = [seq_ij, seq_ik, seq_jk]
+            coefficients[trio] = grid
+            for e in trio:
+                if e not in elements_seen:
+                    elements_seen.append(e)
+        else:
+            raise ValueError(f"Unknown block kind: {kind}")
+    return dict(elements=elements_seen, degree=degree,
+                leading_trim=leading, trailing_trim=trailing,
+                knots_map=knots_map, coefficients=coefficients)
+
+
+def model_from_uf3_pot_file(path: str):
+    """
+    Reconstruct a ``WeightedLinearModel`` from a native ``.uf3``
+    potential file, re-evaluable through this framework's own kernels.
+    1-body offsets are not stored in the file format and load as zero.
+
+    The export -> parse -> evaluate round trip validates that the
+    written file carries exactly the model the C++ ``pair_style uf3``
+    would consume (the reference has no reader; it can only write).
+    """
+    from uf3_tpu.regression.least_squares import WeightedLinearModel
+    parsed = read_uf3_lammps_pot_file(path)
+    solution = dict(parsed["coefficients"])
+    for el in parsed["elements"]:
+        solution.setdefault(el, 0.0)
+    config = dict(element_list=parsed["elements"],
+                  degree=parsed["degree"],
+                  knots_map=parsed["knots_map"],
+                  leading_trim=parsed["leading_trim"],
+                  trailing_trim=parsed["trailing_trim"],
+                  coefficients=solution)
+    return WeightedLinearModel.from_dict(config)
 
 
 def generate_lammps_input(model, pot_path: str) -> str:
