@@ -45,9 +45,14 @@ def main():
     # slots = one 256-lane pair block in the trio kernel) refiltered
     # cheaply from the wide-skin 2-body list, whose full rebuild is
     # rare; capacities validated by the overflow check below
+    # r-RESPA: the smooth 2-body tail (r > 3.0 A) advances on a
+    # 3x outer step, so inner steps touch only the compact 3-body
+    # list (one (N, 16) gather) -- the dominant (N, 72) pair-row
+    # gather runs once per outer cycle.  NVE drift at n_respa=3 is
+    # test-pinned (tests/test_device_potential.py respa tests).
     system = MDSystem(model, geom, dtype=dtype, rebuild_every=18,
                       skin=0.5, skin_2b=1.2, capacity_2b=72,
-                      capacity_3b=16)
+                      capacity_3b=16, n_respa=3)
     state = system.init_state(temperature=300.0, seed=0)
     # warm up: compile + equilibrate past the thermalization transient
     # (rebuild cadence during the first ~100 steps is atypical; the

@@ -161,6 +161,61 @@ def main():
 
     print(f"trio compute (no assembly):{timeit(trio_compute, x):7.3f} ms")
 
+    # shared-gather fused step + pieces
+    if nbr3.sel is not None:
+        @jax.jit
+        def shared(x):
+            e2, e3, f, _ = pt.pair_trio_forces_shared(
+                coeff, tb.grid, x, cell, nbr2, nbr3,
+                spec_pair=spec, n_basis_pair=spec.n_basis,
+                spec_l=tb.spec_l, spec_n=tb.spec_n,
+                l_basis=tb.l_basis, n_basis=tb.n_basis,
+                with_energy=False, active_bc=tb.active_bc,
+                window=tb.window, cache2=cache2, cache3=cache3)
+            return f
+
+        print(f"shared fused step:         {timeit(shared, x):7.3f} ms")
+
+        k2 = nbr2.idx.shape[1]
+        selj = nbr3.sel.astype(jnp.int32)
+
+        @jax.jit
+        def select_only(x):
+            pj = pt.gather_rows_blocks(x, cache2.idx_flats, n)
+            comps2 = tuple(pj[..., c] + cache2.sd[c]
+                           - x[:, c][:, None] for c in range(3))
+            return pt.select_minor(comps2, selj, k2)
+
+        t_sel = timeit(select_only, x)
+        print(f"gather72 + select16:       {t_sel:7.3f} ms")
+
+    if system.n_respa > 1 or True:
+        r_hi = float(system.r_cut_3b)
+        r_lo = r_hi - 0.5
+
+        @jax.jit
+        def short(x):
+            _, _, f = pt.trio_short_forces(
+                coeff, tb.grid, x, cell, nbr3,
+                spec_pair=spec, n_basis_pair=spec.n_basis,
+                spec_l=tb.spec_l, spec_n=tb.spec_n,
+                l_basis=tb.l_basis, n_basis=tb.n_basis,
+                with_energy=False, active_bc=tb.active_bc,
+                window=tb.window, r_lo=r_lo, r_hi=r_hi,
+                cache3=cache3)
+            return f
+
+        @jax.jit
+        def tail(x):
+            _, f = pt.pair_tail_forces(
+                coeff, x, cell, nbr2, spec_pair=spec,
+                n_basis_pair=spec.n_basis, with_energy=False,
+                r_lo=r_lo, r_hi=r_hi, cache2=cache2)
+            return f
+
+        print(f"respa inner (short):       {timeit(short, x):7.3f} ms")
+        print(f"respa outer (tail):        {timeit(tail, x):7.3f} ms")
+
 
 if __name__ == "__main__":
     main()

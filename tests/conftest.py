@@ -28,3 +28,21 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def data_dir():
     return os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """Drop live compiled executables after every test.
+
+    XLA:CPU (jaxlib 0.9.0) segfaults inside backend_compile once many
+    large fused-MD executables accumulate in one process (reproduced
+    deterministically at the 9th big compile in test_device_potential;
+    crash is inside libc called from the compiler, independent of
+    stack rlimit, codegen splitting, and TSD-key counts).  Clearing
+    jax's executable caches between tests keeps the live-module count
+    low and was verified to make the same sequence pass.  Costs some
+    recompilation for fixtures shared across tests; correctness is
+    unaffected.
+    """
+    yield
+    jax.clear_caches()

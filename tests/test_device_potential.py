@@ -329,6 +329,82 @@ class TestNPT:
         v_comp = run_npt(0.2)
         assert v_comp < 0.97 * v_zero
 
+    def test_triangle_kernel_exact(self):
+        """The triangle-lane trio kernel (strict m < n lanes + g2
+        mirror chain) must reproduce the full ordered-lane kernel
+        exactly for the symmetric unary grid, including the virial."""
+        from uf3_tpu.ops import pallas_trio as pt
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        geom.rattle(0.05, seed=17)
+        system = MDSystem(model, geom, dtype=jnp.float64)
+        tb = system.trio_bundle
+        assert tb.symmetric
+        state = system.init_state()
+        n3 = state.nbr3
+        args = (tb.grid, state.positions, system.cell, n3.idx,
+                n3.shift, n3.mask, n3.rev)
+        kw = dict(spec_l=tb.spec_l, spec_n=tb.spec_n,
+                  l_basis=tb.l_basis, n_basis=tb.n_basis,
+                  active_bc=tb.active_bc, window=tb.window,
+                  with_virial=True)
+        e_a, f_a, v_a = pt.trio_forces_unrolled(*args, triangle=False,
+                                                **kw)
+        e_b, f_b, v_b = pt.trio_forces_unrolled(*args, triangle=True,
+                                                **kw)
+        assert np.allclose(np.asarray(e_a), np.asarray(e_b),
+                           atol=1e-10)
+        assert np.allclose(np.asarray(f_a), np.asarray(f_b),
+                           atol=1e-10)
+        assert np.allclose(np.asarray(v_a), np.asarray(v_b),
+                           atol=1e-9)
+
+    def test_respa_force_split_exact(self):
+        """The RESPA short/tail partition must reconstruct the full
+        force field exactly: S(r) + (1 - S(r)) = 1 pointwise."""
+        from uf3_tpu.ops import pallas_trio as pt
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        geom.rattle(0.04, seed=13)
+        system = MDSystem(model, geom, dtype=jnp.float64, n_respa=3)
+        state = system.init_state()
+        x = state.positions
+        e_full, f_full, _ = system.energy_forces(x, state.nbr2,
+                                                 state.nbr3)
+        spec_pair, pair_coeff = system.pair_fast
+        tb = system.trio_bundle
+        r_lo, r_hi = system.respa_switch
+        e2s, e3, f_s = pt.trio_short_forces(
+            pair_coeff, tb.grid, x, system.cell, state.nbr3,
+            spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
+            spec_l=tb.spec_l, spec_n=tb.spec_n, l_basis=tb.l_basis,
+            n_basis=tb.n_basis, active_bc=tb.active_bc,
+            window=tb.window, r_lo=r_lo, r_hi=r_hi)
+        e2t, f_t = pt.pair_tail_forces(
+            pair_coeff, x, system.cell, state.nbr2,
+            spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
+            r_lo=r_lo, r_hi=r_hi)
+        e1 = float(jnp.sum(system.params.offsets_1b[system.species]))
+        e_split = e1 + float(e2s) + float(e2t) + float(jnp.sum(e3))
+        assert np.isclose(e_split, float(e_full), atol=1e-9)
+        assert np.allclose(np.asarray(f_s + f_t), np.asarray(f_full),
+                           atol=1e-9)
+
+    def test_respa_nve_drift(self):
+        """r-RESPA NVE: energy drift stays bounded at n_respa=3."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        system = MDSystem(model, geom, dtype=jnp.float64,
+                          rebuild_every=12, n_respa=3)
+        state = system.init_state(temperature=600.0, seed=1)
+        e0 = float(state.energy) + system.kinetic_energy(state)
+        state = system.run(state, n_steps=120, dt_fs=1.0)
+        e1 = float(state.energy) + system.kinetic_energy(state)
+        assert abs(e1 - e0) / len(geom) < 2e-4  # eV/atom drift
+
     def test_fused_virial_matches_factorized(self):
         """The analytic virial emitted by the fused pair+trio kernels
         must equal the factorized oracle's (f64)."""

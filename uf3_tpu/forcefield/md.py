@@ -35,6 +35,8 @@ class MDState(NamedTuple):
     xi: jnp.ndarray          # () Nose-Hoover thermostat momentum
     stale: jnp.ndarray       # () bool: skin distance was exceeded
     cell: jnp.ndarray        # (3, 3) simulation cell (traced: NPT scales it)
+    f_short: jnp.ndarray = None  # r-RESPA split forces carried across
+    f_tail: jnp.ndarray = None   # chunks (valid for the same positions)
 
 
 class MDSystem:
@@ -48,7 +50,9 @@ class MDSystem:
                  capacity_3b: int = None,
                  skin: float = 0.5,
                  skin_2b: float = None,
-                 rebuild_every: int = 20):
+                 rebuild_every: int = 20,
+                 n_respa: int = 1,
+                 respa_switch: tuple = None):
         self.params, self.static = pot.build_potential(model, dtype=dtype)
         from uf3_tpu.ops import pallas_trio as pt
         self.trio_bundle = pt.build_trio_pallas(model, dtype=dtype)
@@ -77,6 +81,26 @@ class MDSystem:
         self.two_tier = (self.skin_2b > self.skin
                          and self.degree > 2
                          and self.r_cut_3b <= self.r_cut_2b)
+        # r-RESPA multiple time stepping: the smooth 2-body tail
+        # (r > r_lo, split by a C^2 quintic switch) integrates on the
+        # outer step dt * n_respa; the stiff short-range 2-body +
+        # 3-body forces -- evaluated on the compact 3-body list with
+        # one (N, K3) gather -- take the inner step.  Valid split
+        # requires r_hi <= r_cut_3b so the short range is covered by
+        # the 3-body list (same Verlet-skin argument as the trio legs).
+        self.n_respa = int(n_respa)
+        if self.n_respa > 1:
+            if not (self.degree > 2 and self.r_cut_3b
+                    <= self.r_cut_2b):
+                raise ValueError("n_respa > 1 requires a 2+3-body "
+                                 "model with r_cut_3b <= r_cut_2b")
+            if respa_switch is None:
+                r_hi = float(self.r_cut_3b)
+                respa_switch = (r_hi - 0.5, r_hi)
+            if respa_switch[1] > self.r_cut_3b + 1e-9:
+                raise ValueError("respa_switch upper radius must not "
+                                 "exceed r_cut_3b")
+        self.respa_switch = respa_switch
         numbers = atoms.get_atomic_numbers()
         self.species = jnp.asarray(
             np.asarray(self.params.z_to_species)[numbers])
@@ -229,6 +253,26 @@ class MDSystem:
             virial = self._voigt6_to_matrix(out2[2] + out3[2]) \
                 if with_virial else None
             return (e1 + e2 + jnp.sum(e3), f2 + f3, virial)
+        if (self.trio_bundle is not None and self.pair_fast is not None
+                and nbr3 is not None and nbr3.sel is not None):
+            # shared-gather fast path: one (N, K2) position gather
+            # feeds both kernels; trio displacements selected from the
+            # pair rows via the filtered list's parent-slot map
+            from uf3_tpu.ops import pallas_trio as pt
+            e1 = jnp.sum(self.params.offsets_1b[self.species])
+            pair_spec, pair_coeff = self.pair_fast
+            tb = self.trio_bundle
+            e2, e3, forces, v6 = pt.pair_trio_forces_shared(
+                pair_coeff, tb.grid, positions, cell, nbr2, nbr3,
+                spec_pair=pair_spec, n_basis_pair=pair_spec.n_basis,
+                spec_l=tb.spec_l, spec_n=tb.spec_n,
+                l_basis=tb.l_basis, n_basis=tb.n_basis,
+                with_energy=with_energy, with_virial=with_virial,
+                active_bc=tb.active_bc, window=tb.window,
+                triangle=tb.symmetric, cache2=cache2, cache3=cache3)
+            virial = self._voigt6_to_matrix(v6) if with_virial \
+                else None
+            return (e1 + e2 + jnp.sum(e3), forces, virial)
         if self.trio_bundle is not None and nbr3 is not None:
             from uf3_tpu.ops import pallas_trio as pt
             e1 = jnp.sum(self.params.offsets_1b[self.species])
@@ -261,7 +305,8 @@ class MDSystem:
                 n_basis=self.trio_bundle.n_basis,
                 with_energy=with_energy, with_virial=with_virial,
                 active_bc=self.trio_bundle.active_bc,
-                window=self.trio_bundle.window, cache=cache3)
+                window=self.trio_bundle.window,
+                triangle=self.trio_bundle.symmetric, cache=cache3)
             e3, f3 = out3[0], out3[1]
             virial = self._voigt6_to_matrix(v2 + out3[2]) \
                 if with_virial else None
@@ -514,6 +559,152 @@ class MDSystem:
             state = out
         return state
 
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("n_outer", "dt_fs",
+                                        "thermostat",
+                                        "compute_energy"))
+    def _run_chunk_respa(self, state: MDState, n_outer: int,
+                         dt_fs: float,
+                         thermostat: Optional[str] = None,
+                         temperature: float = 300.0,
+                         tau_fs: float = 100.0,
+                         friction_ps: float = 2.0,
+                         compute_energy: bool = True) -> MDState:
+        """One jit chunk of r-RESPA MD: neighbor rebuild + n_outer
+        outer cycles of [tail half-kick, n_respa inner velocity-Verlet
+        steps on the short-range force, tail half-kick].  Inner steps
+        gather only the (N, K3) trio rows; the (N, K2) pair gather
+        runs once per outer cycle."""
+        from uf3_tpu.ops import pallas_trio as pt
+        dt = jnp.asarray(dt_fs * units.fs, dtype=self.dtype)
+        friction = friction_ps / units.ps
+        tau = tau_fs * units.fs
+        n_r = self.n_respa
+        dt_out = dt * n_r
+        cell_c = state.cell
+
+        def _keep(x, n2, n3):
+            return x, n2, n3
+
+        def _refilter(x, n2, n3):
+            n3b = nb.filter_neighbor_list(
+                n2, x, cell_c, self.r_cut_3b + self.skin,
+                self.capacity_3b, reference_positions=x)
+            return x, n2, n3b
+
+        def _full(x, n2, n3):
+            x_w = self._wrap(x, cell_c)
+            nn2, nn3 = self.build_lists(x_w, cell_c, wrapped=True)
+            return x_w, nn2, nn3
+
+        trigger2 = nb.needs_rebuild(state.nbr2, state.positions,
+                                    0.5 * self.skin_2b)
+        if self.two_tier:
+            trigger3 = nb.needs_rebuild(state.nbr3, state.positions,
+                                        0.5 * self.skin)
+            branch = jnp.where(trigger2, 2, jnp.where(trigger3, 1, 0))
+            branches = [_keep, _refilter, _full]
+        else:
+            branch = jnp.where(trigger2, 1, 0)
+            branches = [_keep, _full]
+        x, nbr2, nbr3 = jax.lax.switch(
+            branch, branches, state.positions, state.nbr2, state.nbr3)
+        cell = state.cell
+        cache2 = pt.build_pair_cache(nbr2.idx, nbr2.shift, nbr2.mask,
+                                     cell, self.dtype)
+        cache3 = pt.build_trio_cache(nbr3, cell, self.dtype)
+        spec_pair, pair_coeff = self.pair_fast
+        tb = self.trio_bundle
+        r_lo, r_hi = self.respa_switch
+        m = self.masses[:, None]
+        dof = 3 * x.shape[0] - 3
+
+        def short_forces(xx, with_energy=False):
+            return pt.trio_short_forces(
+                pair_coeff, tb.grid, xx, cell, nbr3,
+                spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
+                spec_l=tb.spec_l, spec_n=tb.spec_n,
+                l_basis=tb.l_basis, n_basis=tb.n_basis,
+                with_energy=with_energy, active_bc=tb.active_bc,
+                window=tb.window, r_lo=r_lo, r_hi=r_hi,
+                triangle=tb.symmetric, cache3=cache3)
+
+        def tail_forces(xx, with_energy=False):
+            return pt.pair_tail_forces(
+                pair_coeff, xx, cell, nbr2, spec_pair=spec_pair,
+                n_basis_pair=spec_pair.n_basis,
+                with_energy=with_energy, r_lo=r_lo, r_hi=r_hi,
+                cache2=cache2)
+
+        # split forces are position-functions only: reuse the carried
+        # values when the caller's state has them (chunk boundaries),
+        # compute on the first chunk after init_state
+        if state.f_short is not None and state.f_tail is not None:
+            f_short0, f_tail0 = state.f_short, state.f_tail
+        else:
+            _, _, f_short0 = short_forces(x)
+            _, f_tail0 = tail_forces(x)
+
+        def thermostat_fn(v, key, xi):
+            if thermostat == "langevin":
+                key, sub = jax.random.split(key)
+                c1 = jnp.exp(-friction * dt)
+                cn = jnp.sqrt((1 - c1 ** 2) * units.kB * temperature
+                              / m)
+                v = c1 * v + cn * jax.random.normal(sub, v.shape,
+                                                    dtype=v.dtype)
+            elif thermostat == "nose_hoover":
+                ke = 0.5 * jnp.sum(m * v * v)
+                q = dof * units.kB * temperature * tau ** 2
+                xi = xi + dt * (2.0 * ke
+                                - dof * units.kB * temperature) / q
+                v = v * jnp.exp(-xi * dt)
+            return v, key, xi
+
+        def outer_body(carry, _):
+            x, v, f_short, f_tail, key, xi, stale = carry
+            v = v + (0.5 * dt_out) * f_tail / m
+
+            def inner_body(_, c):
+                x, v, f_short, key, xi, stale = c
+                v = v + 0.5 * dt * f_short / m
+                x = x + dt * v
+                _, _, f_new = short_forces(x)
+                v = v + 0.5 * dt * f_new / m
+                v, key, xi = thermostat_fn(v, key, xi)
+                stale = stale | nb.needs_rebuild(nbr2, x,
+                                                 self.skin_2b)
+                if self.two_tier:
+                    stale = stale | nb.needs_rebuild(nbr3, x,
+                                                     self.skin)
+                return (x, v, f_new, key, xi, stale)
+
+            x, v, f_short, key, xi, stale = jax.lax.fori_loop(
+                0, n_r, inner_body, (x, v, f_short, key, xi, stale))
+            _, f_tail = tail_forces(x)
+            v = v + (0.5 * dt_out) * f_tail / m
+            return (x, v, f_short, f_tail, key, xi, stale), None
+
+        carry = (x, state.velocities, f_short0, f_tail0, state.key,
+                 state.xi, jnp.zeros((), dtype=bool))
+        carry, _ = jax.lax.scan(outer_body, carry, None,
+                                length=n_outer)
+        x, v, f_short, f_tail, key, xi, stale = carry
+        if compute_energy:
+            # chunk-end bookkeeping: potential energy (run() requests
+            # this only for the final chunk)
+            e2s, e3, f_short = short_forces(x, with_energy=True)
+            e2t, f_tail = tail_forces(x, with_energy=True)
+            e1 = jnp.sum(self.params.offsets_1b[self.species])
+            energy = e1 + e2s + e2t + jnp.sum(e3)
+        else:
+            energy = state.energy
+        return MDState(positions=x, velocities=v,
+                       forces=f_short + f_tail, energy=energy,
+                       nbr2=nbr2, nbr3=nbr3, key=key, xi=xi,
+                       stale=stale, cell=cell, f_short=f_short,
+                       f_tail=f_tail)
+
     def _grow_capacity(self, factor: float = 1.5):
         """Grow neighbor-row and cell-bin capacities (recompiles)."""
         self.capacity_2b = int(np.ceil(self.capacity_2b * factor)) + 1
@@ -569,13 +760,25 @@ class MDSystem:
         chunks = 0
         regrows = 0
         while remaining > 0:
-            steps = min(inner, remaining)
             snapshot = state if on_overflow == "regrow" else None
-            state = self._run_chunk(state, n_steps=steps, dt_fs=dt_fs,
-                                    thermostat=thermostat,
-                                    temperature=temperature,
-                                    tau_fs=tau_fs,
-                                    friction_ps=friction_ps)
+            if self.n_respa > 1 and remaining >= self.n_respa:
+                n_outer = max(1, min(inner, remaining)
+                              // self.n_respa)
+                steps = n_outer * self.n_respa
+                state = self._run_chunk_respa(
+                    state, n_outer=n_outer, dt_fs=dt_fs,
+                    thermostat=thermostat, temperature=temperature,
+                    tau_fs=tau_fs, friction_ps=friction_ps,
+                    compute_energy=(remaining - steps
+                                    < self.n_respa))
+            else:
+                steps = min(inner, remaining)
+                state = self._run_chunk(state, n_steps=steps,
+                                        dt_fs=dt_fs,
+                                        thermostat=thermostat,
+                                        temperature=temperature,
+                                        tau_fs=tau_fs,
+                                        friction_ps=friction_ps)
             if on_overflow == "regrow":
                 if self.overflowed(state):
                     if regrows >= max_regrows:

@@ -24,6 +24,10 @@ class NeighborList(NamedTuple):
     rev: jnp.ndarray        # (N, K) int32: slot of atom i in neighbor's list
     overflow: jnp.ndarray   # () bool: capacity exceeded
     reference_positions: jnp.ndarray  # (N, 3) positions at build time
+    sel: jnp.ndarray = None  # (N, K) int32 parent-list slot ids when this
+    #   list was derived by filter_neighbor_list: slot k of this list is
+    #   slot sel[a, k] of the parent 2-body list, letting the MD step
+    #   reuse the parent's gathered displacements instead of re-gathering
 
 
 def cell_transform(vecs, cell):
@@ -245,6 +249,10 @@ def filter_neighbor_list(nbr: NeighborList, positions, cell,
                  == jnp.arange(capacity, dtype=jnp.int32)[None, None, :])
               ).astype(jnp.int32)                      # (N, P, C)
     idx = jnp.sum(onehot * nbr.idx[:, :, None], axis=1)
+    parent_cap = nbr.idx.shape[1]
+    sel = jnp.sum(onehot * jnp.arange(parent_cap,
+                                      dtype=jnp.int32)[None, :, None],
+                  axis=1)                              # (N, C)
     # the three integer shift components ride one contraction each
     shift_i = nbr.shift.astype(jnp.int32)
     shift = jnp.stack(
@@ -255,13 +263,15 @@ def filter_neighbor_list(nbr: NeighborList, positions, cell,
     self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
     idx = jnp.where(mask, idx, self_idx)
     shift = jnp.where(mask[:, :, None], shift, 0.0)
+    sel = jnp.where(mask, sel, 0)
     rev = _reverse_slots(idx, shift, mask) if with_rev \
         else jnp.zeros_like(idx)
     if reference_positions is None:
         reference_positions = nbr.reference_positions
     return NeighborList(idx=idx, shift=shift, mask=mask, rev=rev,
                         overflow=overflow,
-                        reference_positions=reference_positions)
+                        reference_positions=reference_positions,
+                        sel=sel)
 
 
 def _reverse_slots(idx, shift, mask):

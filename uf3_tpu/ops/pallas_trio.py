@@ -420,6 +420,166 @@ def _trio_block_compute(comps, valid, grid,
     return energy, f_center, w_m, s3, v3
 
 
+def _tri_layout(k: int):
+    """Static m-major strict-upper-triangle lane layout for K slots:
+    lanes enumerate pairs (m, n) with m < n as m=0:(n=1..K-1),
+    m=1:(n=2..K-1), ...  Returns (n_lanes, lanes_padded, m_idx, n_idx,
+    run_starts) as numpy/static values; lanes are padded to the next
+    multiple of 128."""
+    m_idx, n_idx = [], []
+    for m in range(k - 1):
+        for n in range(m + 1, k):
+            m_idx.append(m)
+            n_idx.append(n)
+    n_lanes = len(m_idx)
+    lanes = -(-max(n_lanes, 1) // 128) * 128
+    return (n_lanes, lanes, np.array(m_idx, dtype=np.int32),
+            np.array(n_idx, dtype=np.int32))
+
+
+def _tri_m_role(x, k: int, lanes: int):
+    """(BA, K) slot values -> (BA, lanes) with the m-role (constant
+    within each m-run) on the triangle lanes; static broadcasts +
+    one concat, exact."""
+    ba = x.shape[0]
+    parts = [jnp.broadcast_to(x[:, m:m + 1], (ba, k - 1 - m))
+             for m in range(k - 1)]
+    out = jnp.concatenate(parts, axis=1)
+    pad = lanes - out.shape[1]
+    return jnp.pad(out, ((0, 0), (0, pad))) if pad else out
+
+
+def _tri_n_role(x, k: int, lanes: int):
+    """(BA, K) slot values -> (BA, lanes) with the n-role (slices
+    m+1..K-1 per m-run); static slices + one concat, exact."""
+    parts = [x[:, m + 1:] for m in range(k - 1)]
+    out = jnp.concatenate(parts, axis=1)
+    pad = lanes - out.shape[1]
+    return jnp.pad(out, ((0, 0), (0, pad))) if pad else out
+
+
+def _tri_reduce_m(t, k: int):
+    """(BA, lanes) -> (BA, K): sum each m-run back to slot m (static
+    contiguous slice sums)."""
+    cols = []
+    start = 0
+    for m in range(k - 1):
+        run = k - 1 - m
+        cols.append(jnp.sum(t[:, start:start + run], axis=1))
+        start += run
+    cols.append(jnp.zeros_like(cols[0]))
+    return jnp.stack(cols, axis=1)
+
+
+def _tri_reduce_n(t, k: int, n_lanes: int, n_idx):
+    """(BA, lanes) -> (BA, K): sum lanes whose n-index is each slot
+    (static one-hot masks; the n positions are non-contiguous)."""
+    lanes = t.shape[1]
+    sel = np.zeros((lanes, k), dtype=np.float32)
+    sel[np.arange(n_lanes), n_idx] = 1.0
+    return jnp.dot(t, jnp.asarray(sel, dtype=t.dtype),
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=t.dtype)
+
+
+def _trio_block_compute_tri(comps, valid, grid,
+                            spec_l: LegSpec, spec_n: LegSpec,
+                            l_dim: int, nc: int,
+                            with_energy: bool = True,
+                            with_virial: bool = False,
+                            active_bc=None,
+                            window=None):
+    """Triangle-symmetric twin of _trio_block_compute for UNARY
+    (neighbor-exchange-symmetric) grids: pair lanes cover only the
+    strict upper triangle m < n (half the K*K lanes), with the mirror
+    contributions recovered by a second accumulation chain
+    (g2 = d a'[n]-role of the same value chain) instead of mirror
+    lanes.  Exact: grid symmetry G[l, b, c] == G[b, l, c] is required
+    (build_trio_pallas only matches unary trios, whose decompressed
+    grids are symmetrized).  Outputs match _trio_block_compute."""
+    dx, dy, dz = comps
+    ba, k = dx.shape[0], dx.shape[1]
+    dtype = dx.dtype
+    if active_bc is None:
+        active_bc = tuple((b, tuple(range(nc))) for b in range(l_dim))
+    if window is None:
+        window = (0, l_dim, 0, nc)
+    w_lo, w_hi, c_lo, c_hi = window
+    ww, cw = w_hi - w_lo, c_hi - c_lo
+    n_lanes, lanes, m_idx, n_idx = _tri_layout(k)
+    valid_f = valid.astype(dtype)
+    r2 = dx * dx + dy * dy + dz * dz
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    a_mat, da_mat = _dense_basis(r, valid_f, spec_l,
+                                 lo=w_lo, hi=w_hi)      # (BA, K, Ww)
+    # triangle-lane displacements for the third leg
+    dm = [_tri_m_role(dc, k, lanes) for dc in comps]
+    dn = [_tri_n_role(dc, k, lanes) for dc in comps]
+    diffs = [b - a for a, b in zip(dm, dn)]
+    r_mn2 = diffs[0] ** 2 + diffs[1] ** 2 + diffs[2] ** 2
+    r_mn = jnp.sqrt(jnp.where(r_mn2 > 0, r_mn2, 1.0))
+    lane_live = np.zeros((1, lanes), dtype=np.float32)
+    lane_live[0, :n_lanes] = 1.0
+    pair_valid = (_tri_m_role(valid_f, k, lanes)
+                  * _tri_n_role(valid_f, k, lanes)
+                  * (r_mn2 > 1e-10).astype(dtype)
+                  * jnp.asarray(lane_live, dtype=dtype))
+    c_p, dc_p = _dense_basis(r_mn, pair_valid, spec_n,
+                             lo=c_lo, hi=c_hi, transposed=True)
+    g_flat = grid[w_lo:w_hi, w_lo:w_hi, c_lo:c_hi].reshape(ww,
+                                                           ww * cw)
+    h = jnp.dot(a_mat.reshape(ba * k, ww), g_flat,
+                precision=MATMUL_PRECISION,
+                preferred_element_type=dtype).reshape(ba, k, ww, cw)
+    h1 = jnp.dot(da_mat.reshape(ba * k, ww), g_flat,
+                 precision=MATMUL_PRECISION,
+                 preferred_element_type=dtype).reshape(ba, k, ww, cw)
+    value = jnp.zeros((ba, lanes), dtype=dtype)
+    t1 = jnp.zeros((ba, lanes), dtype=dtype)   # g1: d/dr of m-leg
+    t2 = jnp.zeros((ba, lanes), dtype=dtype)   # g2: d/dr of n-leg
+    t3 = jnp.zeros((ba, lanes), dtype=dtype)   # d/dr of the third leg
+    for b_idx, c_list in active_bc:
+        hb = h[:, :, b_idx - w_lo, :]    # (BA, K, Cw)
+        h1b = h1[:, :, b_idx - w_lo, :]
+        db = jnp.zeros((ba, lanes), dtype=dtype)
+        d1b = jnp.zeros((ba, lanes), dtype=dtype)
+        d3b = jnp.zeros((ba, lanes), dtype=dtype)
+        for c_idx in c_list:
+            h_bc = _tri_m_role(hb[:, :, c_idx - c_lo], k, lanes)
+            h1_bc = _tri_m_role(h1b[:, :, c_idx - c_lo], k, lanes)
+            cp = c_p[:, c_idx - c_lo, :]
+            db = db + cp * h_bc
+            d1b = d1b + cp * h1_bc
+            d3b = d3b + dc_p[:, c_idx - c_lo, :] * h_bc
+        b_val = _tri_n_role(a_mat[:, :, b_idx - w_lo], k, lanes)
+        b_der = _tri_n_role(da_mat[:, :, b_idx - w_lo], k, lanes)
+        if with_energy:
+            value = value + b_val * db
+        t1 = t1 + b_val * d1b
+        t2 = t2 + b_der * db
+        t3 = t3 + b_val * d3b
+    energy = jnp.sum(value, axis=1)  # unordered pairs: no 1/2
+    # leg-derivative slot sums: g1 lands on slot m, g2 on slot n
+    w_m = _tri_reduce_m(t1, k) + _tri_reduce_n(t2, k, n_lanes, n_idx)
+    wr = w_m / r
+    f_center = tuple(jnp.sum(wr * dc, axis=1) for dc in comps)
+    g3p = t3 / r_mn
+    s3 = (_tri_reduce_m(g3p, k)
+          + _tri_reduce_n(g3p, k, n_lanes, n_idx))
+    # v3[m] sums g3 * d[n]; v3[n] sums g3 * d[m]
+    v3 = tuple(_tri_reduce_m(g3p * dn[c], k)
+               + _tri_reduce_n(g3p * dm[c], k, n_lanes, n_idx)
+               for c in range(3))
+    if with_virial:
+        out = []
+        for a, b in VOIGT_AB:
+            v12 = jnp.sum(wr * comps[a] * comps[b])
+            v3t = jnp.sum(g3p * diffs[a] * diffs[b])  # unordered
+            out.append(v12 + v3t)
+        return energy, f_center, w_m, s3, v3, jnp.stack(out)
+    return energy, f_center, w_m, s3, v3
+
+
 class ForceCache(NamedTuple):
     """Per-chunk loop invariants of the force kernels.
 
@@ -547,6 +707,28 @@ def make_trio_kernel(spec_l: LegSpec, spec_n: LegSpec,
     return kernel
 
 
+def _pair_chain(r, spec: LegSpec, coefficients, n_basis: int,
+                with_energy: bool):
+    """Spline value/derivative chains of the closed-form pair kernel:
+    4-tap cardinal blends (uniform knots) or de Boor with static
+    coefficient selection.  Returns (v_sum, dv_sum) un-masked."""
+    if spec.cardinal:
+        values, derivs, idx = _cardinal4(r, spec)
+    else:
+        idx = _leg_interval(spec, r)
+        values, derivs = _deboor4(r, idx, spec)
+    v_sum = jnp.zeros_like(r)
+    dv_sum = jnp.zeros_like(r)
+    for tap in range(4):
+        c_tap = jnp.zeros_like(r)
+        for w in range(n_basis):
+            c_tap = jnp.where(idx + tap == w, coefficients[w], c_tap)
+        if with_energy:
+            v_sum = v_sum + values[tap] * c_tap
+        dv_sum = dv_sum + derivs[tap] * c_tap
+    return v_sum, dv_sum
+
+
 @functools.partial(jax.jit,
                    static_argnames=("spec", "n_basis", "with_energy",
                                     "with_virial"))
@@ -556,7 +738,8 @@ def pair_forces_unrolled(coefficients,
                          n_basis: int = 0,
                          with_energy: bool = True,
                          with_virial: bool = False,
-                         cache: Optional[ForceCache] = None):
+                         cache: Optional[ForceCache] = None,
+                         center_weight=None):
     """
     Single-pair-type 2-body energy + forces with closed-form interval
     lookup and static coefficient selection: V(r) and dV/dr via the
@@ -586,20 +769,14 @@ def pair_forces_unrolled(coefficients,
     valid_f = (cache.valid
                * (r > spec.t_min).astype(dtype)
                * (r < spec.t_max).astype(dtype))
-    if spec.cardinal:
-        values, derivs, idx = _cardinal4(r, spec)
-    else:
-        idx = _leg_interval(spec, r)
-        values, derivs = _deboor4(r, idx, spec)
-    v_sum = jnp.zeros_like(r)
-    dv_sum = jnp.zeros_like(r)
-    for tap in range(4):
-        c_tap = jnp.zeros_like(r)
-        for w in range(n_basis):
-            c_tap = jnp.where(idx + tap == w, coefficients[w], c_tap)
-        if with_energy:
-            v_sum = v_sum + values[tap] * c_tap
-        dv_sum = dv_sum + derivs[tap] * c_tap
+    if center_weight is not None:
+        # domain-decomposition seam: each row's half of the pair sum
+        # (and the fully-local per-row force) counts only when this
+        # shard owns the row's center -- cross-shard pairs then sum
+        # exactly under psum, halo rows contribute nothing
+        valid_f = valid_f * center_weight.astype(dtype)[:, None]
+    v_sum, dv_sum = _pair_chain(r, spec, coefficients, n_basis,
+                                with_energy)
     energy = jnp.sum(v_sum * valid_f) if with_energy \
         else jnp.zeros((), dtype=dtype)
     w_pair = 2.0 * dv_sum * valid_f / r
@@ -716,6 +893,8 @@ class TrioPallas(NamedTuple):
     n_basis: int
     active_bc: Tuple = None  # static ((b, (c, ...)), ...) live blocks
     window: Tuple = None     # static (w_lo, w_hi, c_lo, c_hi) live span
+    symmetric: bool = False  # grid[l, b, c] == grid[b, l, c]: the
+    #   triangle-lane kernel (half the pair-lane work) is exact
 
 
 def build_trio_pallas(model, dtype=jnp.float32):
@@ -760,10 +939,12 @@ def build_trio_pallas(model, dtype=jnp.float32):
         window = (w_lo, w_hi, int(min(cs)), int(max(cs)) + 1)
     else:
         window = (0, grid.shape[0], 0, grid.shape[2])
+    symmetric = bool(np.array_equal(grid, grid.transpose(1, 0, 2)))
     return TrioPallas(spec_l=spec_l, spec_n=spec_n,
                       grid=jnp.asarray(grid, dtype=dtype),
                       l_basis=grid.shape[0], n_basis=grid.shape[2],
-                      active_bc=active_bc, window=window)
+                      active_bc=active_bc, window=window,
+                      symmetric=symmetric)
 
 
 @functools.partial(jax.jit,
@@ -865,7 +1046,8 @@ def _assemble_forces(energy, f_center, packed, comps, r,
                    static_argnames=("spec_l", "spec_n", "l_basis",
                                     "n_basis", "block_atoms",
                                     "with_energy", "with_virial",
-                                    "active_bc", "window"))
+                                    "active_bc", "window",
+                                    "triangle"))
 def trio_forces_unrolled(grid,
                          positions, cell, nbr_idx, nbr_shift, nbr_mask,
                          nbr_rev,
@@ -878,7 +1060,9 @@ def trio_forces_unrolled(grid,
                          with_virial: bool = False,
                          active_bc=None,
                          window=None,
-                         cache: Optional[ForceCache] = None):
+                         triangle: bool = False,
+                         cache: Optional[ForceCache] = None,
+                         center_weight=None):
     """
     Plain-XLA twin of the Pallas kernel: the same fused pair-lane
     computation applied blockwise with lax.map to bound intermediate
@@ -886,7 +1070,18 @@ def trio_forces_unrolled(grid,
     With ``with_energy=False`` the value-accumulation chain is elided
     (MD inner steps need forces only).  With ``with_virial=True`` the
     return gains the analytic Voigt virial (xx, yy, zz, yz, xz, xy).
+
+    ``center_weight`` (N,) scales each CENTER row's outputs (energy,
+    center force, emitted neighbor partials) before assembly -- the
+    domain-decomposition seam: halo-atom rows get weight 0 so their
+    triangles are counted only by the shard that owns the center,
+    while partials emitted by owned centers onto halo slots still
+    assemble (and are shipped back by the caller).
     """
+    if center_weight is not None and with_virial:
+        raise NotImplementedError(
+            "center_weight does not scale the per-block virial "
+            "accumulator; halo MD computes stress via the oracle")
     n_atoms, capacity = nbr_idx.shape
     if cache is None:
         cache = build_pair_cache(nbr_idx, nbr_shift, nbr_mask, cell,
@@ -917,10 +1112,18 @@ def trio_forces_unrolled(grid,
 
     def block_fn(args):
         cx, cy, cz, m_b, p_b = args
-        out = _trio_block_compute(
-            (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis, n_basis,
-            with_energy=with_energy, with_virial=with_virial,
-            active_bc=active_bc, window=window, pair_pre=p_b)
+        if triangle:
+            out = _trio_block_compute_tri(
+                (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis,
+                n_basis, with_energy=with_energy,
+                with_virial=with_virial, active_bc=active_bc,
+                window=window)
+        else:
+            out = _trio_block_compute(
+                (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis,
+                n_basis, with_energy=with_energy,
+                with_virial=with_virial, active_bc=active_bc,
+                window=window, pair_pre=p_b)
         energy, f_center, s1, s3, v3 = out[:5]
         # pack inside the block so lax.map writes the gather-ready
         # layout directly, flattened to full-lane (BA, K*8) tiles (a
@@ -934,6 +1137,11 @@ def trio_forces_unrolled(grid,
     energy = energy.reshape(-1)[:n_atoms]
     f_center = f_center.reshape(-1, 3)[:n_atoms]
     packed = packed.reshape(-1, capacity * 8)[:n_atoms]
+    if center_weight is not None:
+        w = center_weight.astype(energy.dtype)
+        energy = energy * w
+        f_center = f_center * w[:, None]
+        packed = packed * w[:, None]
     result = _assemble_forces(energy, f_center, packed, comps, r,
                               cache)
     if with_virial:
@@ -1289,3 +1497,262 @@ def pair_forces_multi(coeffs, positions, cell, nbr_idx, nbr_shift,
                             for a, b in VOIGT_AB])
         return energy, forces, virial
     return energy, forces
+
+
+def select_minor(comps, sel, k_parent: int):
+    """Minor-axis selection: out[a, k] = comp[a, sel[a, k]] for each
+    per-component (N, K_parent) array, via a one-hot broadcast-reduce
+    on the VPU (XLA minor-axis gathers serialize on TPU)."""
+    oh = (sel[:, :, None]
+          == jax.lax.broadcasted_iota(
+              jnp.int32, sel.shape + (k_parent,), 2)
+          ).astype(comps[0].dtype)
+    return tuple(jnp.sum(oh * c[:, None, :], axis=2) for c in comps)
+
+
+def _switch_poly(r, r_lo: float, r_hi: float):
+    """C^2 quintic smoothstep partition S(r): 1 below r_lo, 0 above
+    r_hi.  Returns (S, dS/dr)."""
+    width = r_hi - r_lo
+    u = jnp.clip((r - r_lo) / width, 0.0, 1.0)
+    u2 = u * u
+    u3 = u2 * u
+    s = 1.0 - (10.0 * u3 - 15.0 * u3 * u + 6.0 * u3 * u2)
+    ds = -(30.0 * u2 - 60.0 * u3 + 30.0 * u2 * u2) / width
+    return s, ds
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec_pair", "n_basis_pair",
+                                    "spec_l", "spec_n", "l_basis",
+                                    "n_basis", "block_atoms",
+                                    "with_energy", "active_bc",
+                                    "window", "r_lo", "r_hi",
+                                    "triangle"))
+def trio_short_forces(pair_coefficients, grid,
+                      positions, cell, nbr3,
+                      spec_pair: LegSpec = None,
+                      n_basis_pair: int = 0,
+                      spec_l: LegSpec = None,
+                      spec_n: LegSpec = None,
+                      l_basis: int = 0,
+                      n_basis: int = 0,
+                      block_atoms: int = 512,
+                      with_energy: bool = True,
+                      active_bc=None,
+                      window=None,
+                      r_lo: float = 0.0,
+                      r_hi: float = 0.0,
+                      triangle: bool = False,
+                      cache3: Optional[ForceCache] = None):
+    """RESPA inner force: 3-body + switched short-range 2-body
+    (V_short = S(r) V(r)), both evaluated on the compact 3-body list's
+    displacements -- one (N, K3) gather instead of the (N, K2) pair
+    gather.  Valid because every pair with r < r_hi <= r_cut_3b is in
+    the 3-body list by the same Verlet-skin argument that makes the
+    trio legs complete.  Returns (e_short2, e3_atoms, forces)."""
+    dtype = positions.dtype
+    n_atoms, k3 = nbr3.idx.shape
+    if cache3 is None:
+        cache3 = build_trio_cache(nbr3, cell, dtype)
+    pj = gather_rows_blocks(positions, cache3.idx_flats, n_atoms)
+    comps3 = tuple(pj[..., c] + cache3.sd[c]
+                   - positions[:, c][:, None] for c in range(3))
+    r3sq = comps3[0] ** 2 + comps3[1] ** 2 + comps3[2] ** 2
+    r3 = jnp.sqrt(jnp.where(r3sq > 0, r3sq, 1.0))
+    # switched short-range pair on the same displacements
+    valid2 = (cache3.valid
+              * (r3 > spec_pair.t_min).astype(dtype)
+              * (r3 < spec_pair.t_max).astype(dtype))
+    v2, dv2 = _pair_chain(r3, spec_pair, pair_coefficients,
+                          n_basis_pair, True)
+    s, ds = _switch_poly(r3, r_lo, r_hi)
+    e_short = jnp.sum(v2 * s * valid2) if with_energy \
+        else jnp.zeros((), dtype=dtype)
+    w_pair = 2.0 * (dv2 * s + v2 * ds) * valid2 / r3
+    f2 = [jnp.sum(w_pair * dc, axis=1) for dc in comps3]
+    # trio blocks
+    pad = (-n_atoms) % block_atoms
+
+    def blocks(a):
+        return jnp.pad(a, ((0, pad), (0, 0))).reshape(
+            -1, block_atoms, a.shape[1])
+
+    c_blocks = tuple(blocks(dc) for dc in comps3)
+    m_blocks = blocks(cache3.valid)
+    p_blocks = blocks(cache3.pair_pre)
+
+    def block_fn(args):
+        cx, cy, cz, m_b, p_b = args
+        if triangle:
+            energy, f_center, s1, s3, v3 = _trio_block_compute_tri(
+                (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis,
+                n_basis, with_energy=with_energy,
+                active_bc=active_bc, window=window)
+        else:
+            energy, f_center, s1, s3, v3 = _trio_block_compute(
+                (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis,
+                n_basis, with_energy=with_energy,
+                active_bc=active_bc, window=window, pair_pre=p_b)
+        return (energy, jnp.stack(f_center, axis=-1),
+                _pack_partials(s1, s3, v3))
+
+    energy, f_center, packed = jax.lax.map(
+        block_fn, c_blocks + (m_blocks, p_blocks))
+    energy = energy.reshape(-1)[:n_atoms]
+    f_center = f_center.reshape(-1, 3)[:n_atoms]
+    packed = packed.reshape(-1, k3 * 8)[:n_atoms]
+    e3, f3 = _assemble_forces(energy, f_center, packed, comps3, r3,
+                              cache3)
+    forces = jnp.stack([f2[c] + f3[:, c] for c in range(3)], axis=-1)
+    return e_short, e3, forces
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec_pair", "n_basis_pair",
+                                    "with_energy", "r_lo", "r_hi"))
+def pair_tail_forces(pair_coefficients, positions, cell, nbr2,
+                     spec_pair: LegSpec = None,
+                     n_basis_pair: int = 0,
+                     with_energy: bool = True,
+                     r_lo: float = 0.0,
+                     r_hi: float = 0.0,
+                     cache2: Optional[ForceCache] = None):
+    """RESPA outer force: the complementary long-range 2-body tail
+    V_tail = (1 - S(r)) V(r) on the full pair list.  Smooth and slow
+    by construction (r > r_lo), so it integrates stably on the outer
+    timestep.  Returns (e_tail, forces)."""
+    dtype = positions.dtype
+    n_atoms = positions.shape[0]
+    if cache2 is None:
+        cache2 = build_pair_cache(nbr2.idx, nbr2.shift, nbr2.mask,
+                                  cell, dtype)
+    pj = gather_rows_blocks(positions, cache2.idx_flats, n_atoms)
+    comps2 = tuple(pj[..., c] + cache2.sd[c]
+                   - positions[:, c][:, None] for c in range(3))
+    r2sq = comps2[0] ** 2 + comps2[1] ** 2 + comps2[2] ** 2
+    r2 = jnp.sqrt(jnp.where(r2sq > 0, r2sq, 1.0))
+    valid2 = (cache2.valid
+              * (r2 > spec_pair.t_min).astype(dtype)
+              * (r2 < spec_pair.t_max).astype(dtype))
+    v2, dv2 = _pair_chain(r2, spec_pair, pair_coefficients,
+                          n_basis_pair, True)
+    s, ds = _switch_poly(r2, r_lo, r_hi)
+    e_tail = jnp.sum(v2 * (1.0 - s) * valid2) if with_energy \
+        else jnp.zeros((), dtype=dtype)
+    w_pair = 2.0 * (dv2 * (1.0 - s) - v2 * ds) * valid2 / r2
+    forces = jnp.stack([jnp.sum(w_pair * dc, axis=1)
+                        for dc in comps2], axis=-1)
+    return e_tail, forces
+
+
+# ---------------------------------------------------------------------------
+# shared-gather fused step: ONE (N, K2) neighbor-position gather feeds
+# both the 2-body kernel and -- via the parent-slot selection the
+# filtered 3-body list carries (NeighborList.sel) -- the 3-body pair-
+# lane kernel.  The separate (N, K3) trio position gather this replaces
+# was ~15% of the MD step (XLA row gathers cost ~2.2 ns/row regardless
+# of locality or width; see benchmarks/proto_gather.py), while the
+# minor-axis one-hot selection costs ~0.1 ms at 10k atoms.
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit,
+                   static_argnames=("spec_pair", "n_basis_pair",
+                                    "spec_l", "spec_n", "l_basis",
+                                    "n_basis", "block_atoms",
+                                    "with_energy", "with_virial",
+                                    "active_bc", "window",
+                                    "triangle"))
+def pair_trio_forces_shared(pair_coefficients, grid,
+                            positions, cell, nbr2, nbr3,
+                            spec_pair: LegSpec = None,
+                            n_basis_pair: int = 0,
+                            spec_l: LegSpec = None,
+                            spec_n: LegSpec = None,
+                            l_basis: int = 0,
+                            n_basis: int = 0,
+                            block_atoms: int = 512,
+                            with_energy: bool = True,
+                            with_virial: bool = False,
+                            active_bc=None,
+                            window=None,
+                            triangle: bool = False,
+                            cache2: Optional[ForceCache] = None,
+                            cache3: Optional[ForceCache] = None):
+    """Fused unary 2+3-body energy/forces (+ Voigt virial) with a
+    single neighbor-position gather.  Requires nbr3 derived from nbr2
+    by filter_neighbor_list (nbr3.sel maps trio slots to parent pair
+    slots, so trio displacements are selected, not re-gathered).
+
+    Returns (e2_sum, e3_atoms, forces, virial6 | None)."""
+    dtype = positions.dtype
+    n_atoms, k2 = nbr2.idx.shape
+    k3 = nbr3.idx.shape[1]
+    if cache2 is None:
+        cache2 = build_pair_cache(nbr2.idx, nbr2.shift, nbr2.mask,
+                                  cell, dtype)
+    if cache3 is None:
+        cache3 = build_trio_cache(nbr3, cell, dtype)
+    pj = gather_rows_blocks(positions, cache2.idx_flats, n_atoms)
+    comps2 = tuple(pj[..., c] + cache2.sd[c]
+                   - positions[:, c][:, None] for c in range(3))
+    r2sq = comps2[0] ** 2 + comps2[1] ** 2 + comps2[2] ** 2
+    r2 = jnp.sqrt(jnp.where(r2sq > 0, r2sq, 1.0))
+    # ---- 2-body ------------------------------------------------------
+    valid2 = (cache2.valid
+              * (r2 > spec_pair.t_min).astype(dtype)
+              * (r2 < spec_pair.t_max).astype(dtype))
+    v2, dv2 = _pair_chain(r2, spec_pair, pair_coefficients,
+                          n_basis_pair, with_energy)
+    e2 = jnp.sum(v2 * valid2) if with_energy \
+        else jnp.zeros((), dtype=dtype)
+    w_pair = 2.0 * dv2 * valid2 / r2
+    f2 = [jnp.sum(w_pair * dc, axis=1) for dc in comps2]
+    v6_pair = None
+    if with_virial:
+        w_v = 0.5 * w_pair
+        v6_pair = jnp.stack([jnp.sum(w_v * comps2[a] * comps2[b])
+                             for a, b in VOIGT_AB])
+    # ---- 3-body: select trio displacements from the pair rows -------
+    comps3 = select_minor(comps2, nbr3.sel.astype(jnp.int32), k2)
+    r3sq = comps3[0] ** 2 + comps3[1] ** 2 + comps3[2] ** 2
+    r3 = jnp.sqrt(jnp.where(r3sq > 0, r3sq, 1.0))
+    pad = (-n_atoms) % block_atoms
+
+    def blocks(a):
+        return jnp.pad(a, ((0, pad), (0, 0))).reshape(
+            -1, block_atoms, a.shape[1])
+
+    c_blocks = tuple(blocks(dc) for dc in comps3)
+    m_blocks = blocks(cache3.valid)
+    p_blocks = blocks(cache3.pair_pre)
+
+    def block_fn(args):
+        cx, cy, cz, m_b, p_b = args
+        if triangle:
+            out = _trio_block_compute_tri(
+                (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis,
+                n_basis, with_energy=with_energy,
+                with_virial=with_virial, active_bc=active_bc,
+                window=window)
+        else:
+            out = _trio_block_compute(
+                (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis,
+                n_basis, with_energy=with_energy,
+                with_virial=with_virial, active_bc=active_bc,
+                window=window, pair_pre=p_b)
+        energy, f_center, s1, s3, v3 = out[:5]
+        packed = (energy, jnp.stack(f_center, axis=-1),
+                  _pack_partials(s1, s3, v3))
+        return packed + (out[5],) if with_virial else packed
+
+    outs = jax.lax.map(block_fn, c_blocks + (m_blocks, p_blocks))
+    e3_atoms = outs[0].reshape(-1)[:n_atoms]
+    f_center = outs[1].reshape(-1, 3)[:n_atoms]
+    packed = outs[2].reshape(-1, k3 * 8)[:n_atoms]
+    e3_atoms, f3 = _assemble_forces(e3_atoms, f_center, packed,
+                                    comps3, r3, cache3)
+    forces = jnp.stack([f2[c] + f3[:, c] for c in range(3)], axis=-1)
+    if with_virial:
+        return e2, e3_atoms, forces, v6_pair + jnp.sum(outs[3],
+                                                       axis=0)
+    return e2, e3_atoms, forces, None
