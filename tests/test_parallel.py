@@ -85,3 +85,60 @@ def test_sharded_md_matches_single_device(mesh8):
     assert np.allclose(np.asarray(vs), np.asarray(v), atol=1e-12)
     assert np.allclose(np.asarray(fs), np.asarray(f_ref), atol=1e-10)
     assert np.isclose(float(es), float(e_ref), atol=1e-10)
+
+
+def test_fit_from_file_sharded_matches_host(mesh8, tmp_path):
+    """Streaming HDF5 mesh fit (sharded Gram + streaming variance +
+    sample weights) must reproduce the host fit_from_file exactly."""
+    import pandas as pd
+
+    from uf3_tpu.data.atoms import Atoms
+    from uf3_tpu.representation.process import (BasisFeaturizer,
+                                                save_feature_db)
+
+    chemistry = ChemicalSystem(["W"])
+    config = BSplineBasis(chemistry,
+                          r_min_map={("W", "W"): 1.5},
+                          r_max_map={("W", "W"): 5.5},
+                          resolution_map={("W", "W"): 12})
+    featurizer = BasisFeaturizer(config)
+    rng = np.random.RandomState(2)
+    rows = {}
+    for i in range(6):
+        geom = Atoms("W2", positions=[[0, 0, 0],
+                                      [2.2 + 0.2 * i, 0, 0]],
+                     pbc=False)
+        rows.update(featurizer.evaluate_configuration(
+            geom, name=f"0_{i}", energy=-1.0 + 0.1 * i,
+            forces=rng.normal(size=(3, 2)) * 0.1))
+    df = pd.DataFrame.from_dict(rows, orient="index",
+                                columns=featurizer.columns)
+    df.index = pd.MultiIndex.from_tuples(df.index)
+    filename = str(tmp_path / "features.h5")
+    # two chunks exercises the streaming accumulation
+    save_feature_db(df.iloc[:df.shape[0] // 2], filename,
+                    table_name="features_000")
+    save_feature_db(df.iloc[df.shape[0] // 2:], filename,
+                    table_name="features_001")
+    subset = [f"0_{i}" for i in range(6)]
+    weights = {f"0_{i}": 1.0 + 0.2 * i for i in range(6)}
+    # the tiny dimer problem is rank-deficient, so raw coefficients
+    # amplify summation-order fp noise; regularize and compare
+    # predictions (the well-conditioned observable)
+    host = ls.WeightedLinearModel(config, r2=1e-6, c2=1e-6)
+    host.fit_from_file(filename, subset=subset, weight=0.3,
+                       sample_weights=weights)
+    sharded = ls.WeightedLinearModel(config, r2=1e-6, c2=1e-6)
+    pmesh.fit_from_file_sharded(sharded, filename, subset=subset,
+                                weight=0.3, mesh=mesh8,
+                                sample_weights=weights)
+    probe = df.to_numpy()[:, 1:]
+    assert np.allclose(probe @ sharded.coefficients,
+                       probe @ host.coefficients, atol=1e-8)
+    # dropping the sample weights must change the solution (i.e. the
+    # weights actually flowed through the sharded path)
+    unweighted = ls.WeightedLinearModel(config, r2=1e-6, c2=1e-6)
+    pmesh.fit_from_file_sharded(unweighted, filename, subset=subset,
+                                weight=0.3, mesh=mesh8)
+    assert not np.allclose(probe @ unweighted.coefficients,
+                           probe @ host.coefficients, atol=1e-8)

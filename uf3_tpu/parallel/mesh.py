@@ -102,6 +102,67 @@ def fit_sharded(model,
     model.fit_with_gram(gram, ordinate)
 
 
+def fit_from_file_sharded(model,
+                          filename: str,
+                          subset,
+                          weight: float = 0.5,
+                          mesh: Mesh = None,
+                          sample_weights: dict = None,
+                          energy_key: str = "energy",
+                          drop_columns=None) -> None:
+    """
+    Mesh-parallel twin of WeightedLinearModel.fit_from_file
+    (regression/least_squares.py:350): stream HDF5 feature chunks on
+    the host, accumulate each chunk's Gram/ordinate on the device mesh
+    (rows sharded, psum over ICI), track energy/force variances with
+    streaming VarianceRecorders, and solve on host in float64.  Full
+    parity surface: per-sample weights, custom energy key, column
+    drops.
+    """
+    import os as _os
+
+    from uf3_tpu.regression import least_squares as ls
+    from uf3_tpu.representation import process
+
+    if mesh is None:
+        mesh = make_mesh()
+    if not _os.path.isfile(filename):
+        raise FileNotFoundError(filename)
+    n_elements = len(model.bspline_config.element_list)
+    _, _, table_names, _ = process.analyze_hdf_tables(filename)
+    gram_e, gram_f, ord_e, ord_f = model.initialize_gram_ordinate()
+    e_var = ls.VarianceRecorder()
+    f_var = ls.VarianceRecorder()
+    for table_name in table_names:
+        df = process.load_feature_db(filename, table_name)
+        keys = df.index.unique(level=0).intersection(subset)
+        if len(keys) == 0:
+            continue
+        if drop_columns is not None:
+            df = df.drop(columns=drop_columns)
+        x_e, y_e, x_f, y_f = ls.dataframe_to_tuples(
+            df.loc[keys], n_elements=n_elements,
+            energy_key=energy_key, sample_weights=sample_weights)
+        x_e, y_e = ls.freeze_columns(x_e, y_e, model.mask,
+                                     model.frozen_c, model.col_idx)
+        x_f, y_f = ls.freeze_columns(x_f, y_f, model.mask,
+                                     model.frozen_c, model.col_idx)
+        e_var.update(y_e)
+        f_var.update(y_f)
+        g_e, o_e = sharded_gram(x_e, y_e, mesh)
+        g_f, o_f = sharded_gram(x_f, y_f, mesh)
+        gram_e += np.asarray(g_e, dtype=np.float64)
+        gram_f += np.asarray(g_f, dtype=np.float64)
+        ord_e += np.asarray(o_e, dtype=np.float64)
+        ord_f += np.asarray(o_f, dtype=np.float64)
+    energy_weight, force_weight = ls.calc_E_F_weights(
+        e_var.n, f_var.n, e_var.std, f_var.std)
+    gram, ordinate = model.combine_weighted_gram(
+        gram_e, gram_f, ord_e, ord_f, energy_weight, force_weight,
+        weight)
+    model.fit_with_gram(gram, ordinate)
+
+
 def sharded_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
                             n_steps: int = 1):
     """
