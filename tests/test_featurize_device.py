@@ -88,3 +88,59 @@ def test_device_fit_matches_host_fit(tungsten_basis):
                        host_model.predict(x_e), atol=1e-8)
     assert np.allclose(device_model.predict(x_f),
                        host_model.predict(x_f), atol=1e-8)
+
+
+@pytest.fixture(scope="module")
+def binary_basis():
+    """Ne-Xe binary with deliberately ASYMMETRIC per-interaction
+    ranges/resolutions so any leg/species mix-up breaks exactness."""
+    chem = ChemicalSystem(["Ne", "Xe"], degree=3)
+    r_min = {pair: 1.5 for pair in chem.interactions_map[2]}
+    r_min.update({trio: [1.5] * 3 for trio in chem.interactions_map[3]})
+    r_max = {("Ne", "Ne"): 4.5, ("Ne", "Xe"): 5.0, ("Xe", "Xe"): 5.5}
+    res = {("Ne", "Ne"): 12, ("Ne", "Xe"): 14, ("Xe", "Xe"): 15}
+    for trio in chem.interactions_map[3]:
+        pairs = [tuple(sorted((trio[0], trio[1]),
+                              key=["Ne", "Xe"].index)),
+                 tuple(sorted((trio[0], trio[2]),
+                              key=["Ne", "Xe"].index)),
+                 tuple(sorted((trio[1], trio[2]),
+                              key=["Ne", "Xe"].index))]
+        r_max[trio] = [min(3.5, r_max[p]) for p in pairs[:2]] \
+            + [min(7.0, 2 * 3.5)]
+        res[trio] = [5, 6, 12]
+    return BSplineBasis(chem, r_min_map=r_min, r_max_map=r_max,
+                        resolution_map=res)
+
+
+def _mixed_crystal(seed):
+    from uf3_tpu.data.atoms import Atoms
+    base = bulk("Ne", "fcc", a=5.2) * 2
+    numbers = np.asarray(base.get_atomic_numbers()).copy()
+    rng = np.random.RandomState(seed)
+    xe = rng.choice(len(numbers), size=len(numbers) // 2,
+                    replace=False)
+    numbers[xe] = 54
+    geom = Atoms(numbers=numbers, positions=base.get_positions(),
+                 cell=base.get_cell(), pbc=True)
+    geom.rattle(0.08, seed=seed)
+    return geom
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_multi_device_matches_host_featurizer(binary_basis, seed):
+    featurizer = BasisFeaturizer(binary_basis)
+    mspec = fj.build_featurize_spec_multi(binary_basis)
+    assert mspec is not None
+    geom = _mixed_crystal(seed)
+    n_atoms = len(geom)
+    ref = featurizer.evaluate_configuration(
+        geom, energy=0.0, forces=np.zeros((3, n_atoms)))
+    e_ref = np.array(ref["energy"])[1:]
+    f_ref = np.stack([[np.array(ref[f"f{c}_{a}"])[1:] for c in "xyz"]
+                      for a in range(n_atoms)])
+    e_dev, f_dev = fj.featurize_configuration_device_multi(
+        binary_basis, geom, mspec)
+    assert e_dev.shape == e_ref.shape
+    assert np.allclose(e_dev, e_ref, atol=1e-9)
+    assert np.allclose(f_dev, f_ref, atol=1e-9)
