@@ -174,6 +174,46 @@ class TestLammpsExport:
         assert "16 atoms" in text
         assert "1 atom types" in text
 
+    def test_uflammps_native_backend(self):
+        """UFLammps (reference uf3/forcefield/lammps.py:27-133)
+        evaluates and box-relaxes through the native engine when no
+        LAMMPS library is linked (backend='auto' fallback)."""
+        model = self._model()
+        calc = lammps.UFLammps(model, backend="native")
+        geom = bulk("W", "bcc", a=3.1652) * 2
+        geom.rattle(0.02, seed=4)
+        results = calc.evaluate(geom)
+        from uf3_tpu.forcefield.calculator import UFCalculator
+        oracle = UFCalculator(model)
+        assert np.isclose(results["energy"],
+                          oracle.get_potential_energy(geom))
+        assert np.allclose(results["forces"],
+                           oracle.get_forces(geom))
+        assert results["stress"].shape == (6,)
+        f0 = float(np.abs(results["forces"]).max())
+        relaxed = calc.relax(geom, ftol=0.02)
+        assert float(np.abs(relaxed["forces"]).max()) < min(0.02, f0)
+
+    def test_uflammps_lammps_backend_guard(self, tmp_path):
+        """backend='lammps' raises a clear ImportError when the
+        in-process library is absent, and the generated command
+        sequence matches the pair_style uf3 contract."""
+        model = self._model()
+        try:
+            import lammps as lammps_lib  # noqa: F401
+            pytest.skip("lammps present; guard not exercised")
+        except ImportError:
+            pass
+        calc = lammps.UFLammps(model, backend="native")
+        with pytest.raises(ImportError, match="backend='native'"):
+            calc._get_lammps()
+        # command generation is backend-independent given a pot path
+        calc.pot_path = str(tmp_path / "W.uf3")
+        cmds = calc.setup_commands("structure.data")
+        assert cmds[0] == "units metal"
+        assert any(c.startswith("pair_style\tuf3 3") for c in cmds)
+        assert any("pair_coeff" in c and "W" in c for c in cmds)
+
 
 class TestAseAdapter:
     """Optional ase interop (reference's calculator subclasses

@@ -342,3 +342,198 @@ def generate_lammps_input(model, pot_path: str) -> str:
              f"pair_coeff\t* * {pot_path} "
              + " ".join(chemical_sys.element_list)]
     return "\n".join(lines)
+
+
+# 1 bar (LAMMPS metal pressure unit) in eV/A^3
+_BAR_TO_EV_A3 = 1e5 / 1.602176634e11
+
+
+class UFLammps:
+    """
+    In-process LAMMPS calculator (reference UFLammps,
+    uf3/forcefield/lammps.py:27-133, an ase.lammpslib subclass that
+    drives a linked LAMMPS for evaluation, box/relax minimization,
+    elastic constants, and phonons).
+
+    Two interchangeable backends with the same result surface:
+
+    ``backend="lammps"``
+        Drives the in-process ``lammps`` Python library (guarded
+        import) with the exported native ``pair_style uf3`` potential
+        file, cross-validating the export against the C++ plugin.
+    ``backend="native"``
+        The same operations through this framework's own kernels
+        (UFCalculator + FIRE/box relaxation) -- the default when no
+        LAMMPS library is linked.
+    ``backend="auto"``
+        ``lammps`` when importable, else ``native``.
+
+    Results dict after ``evaluate``/``relax``: ``energy``,
+    ``free_energy`` (eV), ``forces`` (eV/A), ``stress`` (Voigt
+    xx,yy,zz,yz,xz,xy in eV/A^3, ASE sign convention: -pressure),
+    ``volume`` (A^3), and ``nsteps`` after ``relax``.
+    """
+
+    def __init__(self, model, backend: str = "auto",
+                 pot_dir: str = None, keep_alive: bool = True,
+                 lammps_args: Tuple[str, ...] = ("-log", "none",
+                                                 "-screen", "none")):
+        self.model = model
+        self.keep_alive = keep_alive
+        self.lammps_args = list(lammps_args)
+        self.results: Dict = {}
+        self._lmp = None
+        self._calc = None
+        if backend == "auto":
+            try:
+                import lammps  # noqa: F401
+                backend = "lammps"
+            except ImportError:
+                backend = "native"
+        if backend not in ("lammps", "native"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        if backend == "lammps":
+            import tempfile
+            self.pot_dir = pot_dir or tempfile.mkdtemp(
+                prefix="uf3_pot_")
+            self.pot_path = write_uf3_lammps_pot_files(
+                model=model, pot_dir=self.pot_dir)
+
+    # -- shared surface --------------------------------------------------
+    @property
+    def element_list(self):
+        return self.model.bspline_config.element_list
+
+    def setup_commands(self, data_path: str) -> List[str]:
+        """The LAMMPS command sequence that loads a data file and the
+        exported ``pair_style uf3`` potential."""
+        return (["units metal", "atom_style atomic", "boundary p p p",
+                 f"read_data {data_path}"]
+                + generate_lammps_input(self.model,
+                                        self.pot_path).split("\n"))
+
+    def evaluate(self, atoms) -> Dict:
+        """Single-point energy / forces / stress."""
+        if self.backend == "lammps":
+            return self._lammps_run(atoms, relax=False)
+        return self._native_results(atoms)
+
+    def relax(self, atoms, vmax: float = 0.001,
+              max_steps: int = 125, etol: float = 0.0,
+              ftol: float = 1e-3) -> Dict:
+        """Isotropic box/relax minimization (reference RELAX_LINES,
+        uf3/forcefield/lammps.py:22-24): positions and cell volume
+        relax together; ``atoms`` is updated in place."""
+        if self.backend == "lammps":
+            return self._lammps_run(atoms, relax=True, vmax=vmax,
+                                    max_steps=max_steps, etol=etol,
+                                    ftol=ftol)
+        from uf3_tpu.forcefield import optimize
+        relaxed = optimize.relax_with_cell(
+            atoms, self._native_calc(), fmax=ftol,
+            max_steps=max_steps)
+        atoms.set_positions(relaxed.get_positions())
+        atoms.set_cell(relaxed.get_cell())
+        results = self._native_results(atoms)
+        results["nsteps"] = max_steps
+        return results
+
+    def get_elastic_constants(self, atoms, **kwargs):
+        """Finite-strain elastic constants through the active
+        backend's evaluator (reference :121-124)."""
+        from uf3_tpu.forcefield.properties import elastic
+        return elastic.get_elastic_constants(
+            atoms, self._native_calc(), **kwargs)
+
+    def get_phonon_data(self, atoms, n_super: int = 5,
+                        disp: float = 0.05):
+        """Frozen-phonon band data (reference :126-133)."""
+        from uf3_tpu.forcefield.properties import phonon
+        return phonon.compute_phonon_data(
+            atoms, self._native_calc(), n_super=n_super, disp=disp)
+
+    def close(self):
+        if self._lmp is not None:
+            self._lmp.close()
+            self._lmp = None
+
+    # -- native backend --------------------------------------------------
+    def _native_calc(self):
+        if self._calc is None:
+            from uf3_tpu.forcefield.calculator import UFCalculator
+            self._calc = UFCalculator(self.model)
+        return self._calc
+
+    def _native_results(self, atoms) -> Dict:
+        calc = self._native_calc()
+        energy = calc.get_potential_energy(atoms)
+        self.results = dict(
+            energy=energy, free_energy=energy,
+            forces=calc.get_forces(atoms),
+            stress=calc.get_stress(atoms),
+            volume=atoms.get_volume())
+        return self.results
+
+    # -- lammps backend --------------------------------------------------
+    def _get_lammps(self):
+        try:
+            import lammps
+        except ImportError as exc:
+            raise ImportError(
+                "backend='lammps' requires the in-process `lammps` "
+                "Python module (pip install lammps, or a LAMMPS build "
+                "with -DBUILD_SHARED_LIBS=on and PKG_PYTHON); use "
+                "backend='native' for the built-in engine") from exc
+        if self._lmp is None:
+            self._lmp = lammps.lammps(cmdargs=self.lammps_args)
+        return self._lmp
+
+    def _lammps_run(self, atoms, relax: bool, vmax: float = 0.001,
+                    max_steps: int = 125, etol: float = 0.0,
+                    ftol: float = 1e-3) -> Dict:
+        import tempfile
+        lmp = self._get_lammps()
+        with tempfile.NamedTemporaryFile(
+                mode="w", suffix=".data", delete=False) as handle:
+            data_path = handle.name
+        write_lammps_data(data_path, atoms, self.element_list)
+        for command in self.setup_commands(data_path):
+            lmp.command(command)
+        if relax:
+            lmp.command(f"fix fix_relax all box/relax iso 0.0 "
+                        f"vmax {vmax}")
+            lmp.command("min_style cg")
+            lmp.command(f"minimize {etol} {ftol} {max_steps} "
+                        f"{max_steps}")
+        else:
+            lmp.command("run 0")
+        n_atoms = lmp.get_natoms()
+        forces = np.array(
+            lmp.gather_atoms("f", 1, 3)).reshape(n_atoms, 3)
+        pressures = np.array([lmp.get_thermo(k) for k in
+                              ("pxx", "pyy", "pzz", "pyz", "pxz",
+                               "pxy")])
+        stress = -pressures * _BAR_TO_EV_A3   # ASE sign convention
+        energy = float(lmp.get_thermo("pe"))
+        self.results = dict(energy=energy, free_energy=energy,
+                            forces=forces, stress=stress,
+                            volume=float(lmp.get_thermo("vol")),
+                            nsteps=int(lmp.get_thermo("step")))
+        if relax:
+            pos = np.array(
+                lmp.gather_atoms("x", 1, 3)).reshape(n_atoms, 3)
+            atoms.set_positions(pos)
+            cell = np.zeros((3, 3))
+            boxlo, boxhi, xy, yz, xz, *_ = lmp.extract_box()
+            cell[0, 0] = boxhi[0] - boxlo[0]
+            cell[1, 1] = boxhi[1] - boxlo[1]
+            cell[2, 2] = boxhi[2] - boxlo[2]
+            cell[1, 0], cell[2, 0], cell[2, 1] = xy, xz, yz
+            atoms.set_cell(cell)
+        os.unlink(data_path)
+        if not self.keep_alive:
+            self.close()
+        else:
+            lmp.command("clear")
+        return self.results
