@@ -85,7 +85,8 @@ def cmd_md(model_path: str, args) -> None:
     element = model.bspline_config.element_list[0]
     atoms = bulk(element, "bcc", a=args.lattice) * args.reps
     print(f"{len(atoms)} atoms of {element}")
-    system = MDSystem(model, atoms, dtype=jnp.float32)
+    system = MDSystem(model, atoms, dtype=jnp.float32,
+                      n_respa=args.respa)
     state = system.init_state(temperature=args.temperature)
     import time
     t0 = time.time()
@@ -122,6 +123,9 @@ def main() -> None:
     p_md.add_argument("--steps", type=int, default=1000)
     p_md.add_argument("--dt", type=float, default=2.0)
     p_md.add_argument("--temperature", type=float, default=300.0)
+    p_md.add_argument("--respa", type=int, default=1,
+                      help="r-RESPA inner steps per outer step "
+                           "(1 = plain velocity Verlet)")
     p_export = sub.add_parser("export")
     p_export.add_argument("model")
     p_export.add_argument("--out", default=".")
