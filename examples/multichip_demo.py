@@ -66,7 +66,8 @@ def main():
     dec_dev = shard(dec)
     v0 = shard(np.zeros(dec.x_own.shape))
     dt = jnp.asarray(0.5 * 0.09822694788464063, dtype=jnp.float64)
-    x_own, v, f, energy = chunk(dec_dev, dec_dev.x_own, v0, dt)
+    x_own, v, f, energy, stale = chunk(dec_dev, dec_dev.x_own, v0, dt)
+    assert not bool(stale)  # within the Verlet skin: lists still valid
     print(f"halo MD: 5 NVE steps, E = {float(energy):.6f} eV "
           f"(collectives carry only the slab boundaries)")
 

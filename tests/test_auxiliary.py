@@ -193,6 +193,15 @@ class TestLammpsExport:
         f0 = float(np.abs(results["forces"]).max())
         relaxed = calc.relax(geom, ftol=0.02)
         assert float(np.abs(relaxed["forces"]).max()) < min(0.02, f0)
+        # setup_commands works on the native backend too (lazily
+        # exports the potential file)
+        cmds = calc.setup_commands("dummy.data")
+        assert any("pair_style" in c for c in cmds)
+        assert calc.pot_path is not None
+
+    def test_read_tabulated_potential_rejects_empty(self):
+        with pytest.raises(ValueError, match="no 4-column"):
+            lammps.read_tabulated_potential("UF3_W\nN 25\n")
 
     def test_uflammps_lammps_backend_guard(self, tmp_path):
         """backend='lammps' raises a clear ImportError when the

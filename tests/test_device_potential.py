@@ -537,3 +537,51 @@ class TestBinaryMD:
         e1 = float(state.energy) + system.kinetic_energy(state)
         assert np.isfinite(e1)
         assert abs(e1 - e0) / len(geom) < 1e-3
+
+
+class TestMDValidation:
+    """Constructor-level input validation (no compiles)."""
+
+    def _model(self):
+        return ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+
+    def test_inverted_respa_switch_rejected(self):
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        with pytest.raises(ValueError, match="r_lo < r_hi"):
+            MDSystem(self._model(), geom, n_respa=2,
+                     respa_switch=(3.5, 3.5))
+        with pytest.raises(ValueError, match="r_lo < r_hi"):
+            MDSystem(self._model(), geom, n_respa=2,
+                     respa_switch=(3.5, 3.0))
+
+    def test_respa_coarser_than_rebuild_rejected(self):
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        with pytest.raises(ValueError, match="rebuild_every"):
+            MDSystem(self._model(), geom, n_respa=4, rebuild_every=2)
+
+    def test_triangle_capacity_one_falls_back(self):
+        """K=1 trio capacity must not crash the (symmetric-grid)
+        triangle path: no m < n pairs exist, so forces are pure
+        2-body."""
+        from uf3_tpu.ops import pallas_trio as pt
+        model = self._model()
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        system = MDSystem(model, geom, dtype=jnp.float64)
+        tb = system.trio_bundle
+        assert tb.symmetric
+        state = system.init_state()
+        n3 = state.nbr3
+        one = nb.NeighborList(
+            idx=n3.idx[:, :1], shift=n3.shift[:, :1],
+            mask=n3.mask[:, :1], rev=jnp.zeros_like(n3.rev[:, :1]),
+            overflow=n3.overflow,
+            reference_positions=n3.reference_positions,
+            sel=None if n3.sel is None else n3.sel[:, :1])
+        e, f = pt.trio_forces_unrolled(
+            tb.grid, state.positions, system.cell, one.idx, one.shift,
+            one.mask, one.rev, spec_l=tb.spec_l, spec_n=tb.spec_n,
+            l_basis=tb.l_basis, n_basis=tb.n_basis,
+            active_bc=tb.active_bc, window=tb.window, triangle=True)
+        assert np.all(np.isfinite(np.asarray(f)))
+        assert np.allclose(np.asarray(e), 0.0)   # no complete triangle

@@ -77,10 +77,11 @@ def test_halo_forces_and_energy_match_single_device(setup, mesh4):
     chunk, shard = halo.halo_md_step_factory(system, mesh4, n_steps=0)
     dec_dev = shard(dec)
     v0 = shard(np.zeros(dec.x_own.shape))
-    x_own, v, f_own, energy = chunk(
+    x_own, v, f_own, energy, stale = chunk(
         dec_dev, shard(dec.x_own), v0,
         jnp.asarray(0.0, dtype=jnp.float64))
     assert np.isclose(float(energy), float(e_ref), rtol=1e-10)
+    assert not bool(stale)
     f = halo.gather_positions(dec, f_own, n)
     assert np.max(np.abs(f - np.asarray(f_ref))) < 1e-9
 
@@ -106,9 +107,10 @@ def test_halo_trajectory_matches_single_device(setup, mesh4):
 
     chunk, shard = halo.halo_md_step_factory(system, mesh4,
                                              n_steps=n_steps)
-    x_own, v_own, _, _ = chunk(
+    x_own, v_own, _, _, stale = chunk(
         shard(dec), shard(dec.x_own),
         shard(halo.scatter_velocities(dec, v0)), dt)
+    assert not bool(stale)
     x_h = halo.gather_positions(dec, x_own, n)
     v_h = halo.gather_positions(dec, v_own, n)
     assert np.max(np.abs(x_h - np.asarray(x))) < 1e-9
@@ -151,3 +153,18 @@ def test_halo_collectives_scale_with_halo_not_n(setup, mesh4):
     # the only all-reduce is the scalar energy psum
     ar_sizes = _collective_shapes(hlo, "all-reduce")
     assert all(size == 1 for size in ar_sizes), ar_sizes
+
+
+def test_halo_stale_flags_skin_violation(setup, mesh4):
+    """Drifting any owned atom past half the Verlet skin must raise
+    the replicated stale flag (the signal to re-decompose)."""
+    _, geom, system, dec = setup
+    chunk, shard = halo.halo_md_step_factory(system, mesh4, n_steps=0)
+    x0 = np.array(dec.x_own)
+    s0 = np.argmax(dec.own_mask.sum(axis=1))
+    slot = int(np.argmax(dec.own_mask[s0]))
+    x0[s0, slot, 0] += 0.51 * float(system.skin)
+    _, _, _, _, stale = chunk(
+        shard(dec), shard(x0), shard(np.zeros(x0.shape)),
+        jnp.asarray(0.0, dtype=jnp.float64))
+    assert bool(stale)

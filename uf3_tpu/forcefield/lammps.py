@@ -214,6 +214,10 @@ def read_tabulated_potential(source: str) -> Dict:
                 pass
         if keyword is None and len(parts) == 1:
             keyword = parts[0]
+    if not rows:
+        raise ValueError("no 4-column table rows found in the "
+                         "potential table (index r energy force "
+                         "per row expected)")
     data = np.asarray(rows)
     if n_expected is not None and len(data) != n_expected:
         raise ValueError(f"table declares N {n_expected} but has "
@@ -393,12 +397,22 @@ class UFLammps:
         if backend not in ("lammps", "native"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
+        self.pot_dir = pot_dir
+        self.pot_path = None
         if backend == "lammps":
-            import tempfile
-            self.pot_dir = pot_dir or tempfile.mkdtemp(
-                prefix="uf3_pot_")
+            self._ensure_pot_files()
+
+    def _ensure_pot_files(self) -> str:
+        """Export the native potential file on first use (needed by the
+        lammps backend always, and by ``setup_commands`` on any
+        backend)."""
+        if self.pot_path is None:
+            if self.pot_dir is None:
+                import tempfile
+                self.pot_dir = tempfile.mkdtemp(prefix="uf3_pot_")
             self.pot_path = write_uf3_lammps_pot_files(
-                model=model, pot_dir=self.pot_dir)
+                model=self.model, pot_dir=self.pot_dir)
+        return self.pot_path
 
     # -- shared surface --------------------------------------------------
     @property
@@ -410,8 +424,8 @@ class UFLammps:
         exported ``pair_style uf3`` potential."""
         return (["units metal", "atom_style atomic", "boundary p p p",
                  f"read_data {data_path}"]
-                + generate_lammps_input(self.model,
-                                        self.pot_path).split("\n"))
+                + generate_lammps_input(
+                    self.model, self._ensure_pot_files()).split("\n"))
 
     def evaluate(self, atoms) -> Dict:
         """Single-point energy / forces / stress."""

@@ -100,6 +100,18 @@ class MDSystem:
             if respa_switch[1] > self.r_cut_3b + 1e-9:
                 raise ValueError("respa_switch upper radius must not "
                                  "exceed r_cut_3b")
+            if not respa_switch[0] < respa_switch[1]:
+                raise ValueError("respa_switch must satisfy "
+                                 "r_lo < r_hi (got "
+                                 f"{respa_switch})")
+            if self.n_respa > rebuild_every:
+                raise ValueError(
+                    "n_respa must not exceed rebuild_every: each jit "
+                    "chunk integrates whole outer cycles, so the "
+                    "neighbor-rebuild cadence cannot be finer than "
+                    "one outer step "
+                    f"(n_respa={self.n_respa}, "
+                    f"rebuild_every={rebuild_every})")
         self.respa_switch = respa_switch
         numbers = atoms.get_atomic_numbers()
         self.species = jnp.asarray(
@@ -437,32 +449,13 @@ class MDSystem:
     # note: state buffers alias (neighbor reference positions share the
     # positions buffer at init), so whole-state donation is not valid;
     # the state is rebuilt functionally each call.
-    @functools.partial(jax.jit, static_argnums=(0,),
-                       static_argnames=("n_steps", "dt_fs", "thermostat",
-                                        "barostat"))
-    def _run_chunk(self, state: MDState, n_steps: int, dt_fs: float,
-                   thermostat: Optional[str] = None,
-                   temperature: float = 300.0,
-                   tau_fs: float = 100.0,
-                   friction_ps: float = 2.0,
-                   barostat: Optional[str] = None,
-                   pressure: float = 0.0,
-                   tau_p_fs: float = 1000.0,
-                   compressibility: float = 5e-3) -> MDState:
-        """One jit-compiled chunk: neighbor rebuild + n_steps of MD."""
-        dt = jnp.asarray(dt_fs * units.fs, dtype=self.dtype)
-        tau = tau_fs * units.fs
-        friction = friction_ps / units.ps
-        tau_p = tau_p_fs * units.fs
-        baro_kw = dict(barostat=barostat, pressure=pressure,
-                       tau_p=tau_p, beta_t=compressibility) \
-            if barostat == "scr" else {}
-
-        # adaptive rebuild: refresh the lists only when atoms have used
-        # up half of the skin margin (the other half covers this
-        # chunk's drift).  ONE lax.switch over (positions, lists) --
-        # TPU conditionals cost ~1.5 ms each in pipeline flushes, so
-        # the full-rebuild / 3B-refilter / no-op choice is merged
+    def _rebuild_switch(self, state: MDState):
+        """Adaptive neighbor refresh at a chunk boundary: refresh the
+        lists only when atoms have used up half of the skin margin
+        (the other half covers this chunk's drift).  ONE lax.switch
+        over (positions, lists) -- TPU conditionals cost ~1.5 ms each
+        in pipeline flushes, so the full-rebuild / 3B-refilter / no-op
+        choice is merged.  Returns (positions, nbr2, nbr3)."""
         cell_c = state.cell
 
         def _keep(x, n2, n3):
@@ -492,8 +485,31 @@ class MDSystem:
         else:
             branch = jnp.where(trigger2, 1, 0)
             branches = [_keep, _full]
-        x, nbr2_n, nbr3_n = jax.lax.switch(
-            branch, branches, state.positions, state.nbr2, state.nbr3)
+        return jax.lax.switch(branch, branches, state.positions,
+                              state.nbr2, state.nbr3)
+
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("n_steps", "dt_fs", "thermostat",
+                                        "barostat"))
+    def _run_chunk(self, state: MDState, n_steps: int, dt_fs: float,
+                   thermostat: Optional[str] = None,
+                   temperature: float = 300.0,
+                   tau_fs: float = 100.0,
+                   friction_ps: float = 2.0,
+                   barostat: Optional[str] = None,
+                   pressure: float = 0.0,
+                   tau_p_fs: float = 1000.0,
+                   compressibility: float = 5e-3) -> MDState:
+        """One jit-compiled chunk: neighbor rebuild + n_steps of MD."""
+        dt = jnp.asarray(dt_fs * units.fs, dtype=self.dtype)
+        tau = tau_fs * units.fs
+        friction = friction_ps / units.ps
+        tau_p = tau_p_fs * units.fs
+        baro_kw = dict(barostat=barostat, pressure=pressure,
+                       tau_p=tau_p, beta_t=compressibility) \
+            if barostat == "scr" else {}
+
+        x, nbr2_n, nbr3_n = self._rebuild_switch(state)
         state = state._replace(positions=x, nbr2=nbr2_n, nbr3=nbr3_n,
                                stale=jnp.zeros((), dtype=bool))
         # the neighbor lists and cell are invariant for the rest of the
@@ -581,34 +597,7 @@ class MDSystem:
         tau = tau_fs * units.fs
         n_r = self.n_respa
         dt_out = dt * n_r
-        cell_c = state.cell
-
-        def _keep(x, n2, n3):
-            return x, n2, n3
-
-        def _refilter(x, n2, n3):
-            n3b = nb.filter_neighbor_list(
-                n2, x, cell_c, self.r_cut_3b + self.skin,
-                self.capacity_3b, reference_positions=x)
-            return x, n2, n3b
-
-        def _full(x, n2, n3):
-            x_w = self._wrap(x, cell_c)
-            nn2, nn3 = self.build_lists(x_w, cell_c, wrapped=True)
-            return x_w, nn2, nn3
-
-        trigger2 = nb.needs_rebuild(state.nbr2, state.positions,
-                                    0.5 * self.skin_2b)
-        if self.two_tier:
-            trigger3 = nb.needs_rebuild(state.nbr3, state.positions,
-                                        0.5 * self.skin)
-            branch = jnp.where(trigger2, 2, jnp.where(trigger3, 1, 0))
-            branches = [_keep, _refilter, _full]
-        else:
-            branch = jnp.where(trigger2, 1, 0)
-            branches = [_keep, _full]
-        x, nbr2, nbr3 = jax.lax.switch(
-            branch, branches, state.positions, state.nbr2, state.nbr3)
+        x, nbr2, nbr3 = self._rebuild_switch(state)
         cell = state.cell
         cache2 = pt.build_pair_cache(nbr2.idx, nbr2.shift, nbr2.mask,
                                      cell, self.dtype)
@@ -848,6 +837,8 @@ class MDSystem:
         cells = []
         inner = min(self.rebuild_every, n_steps)
         done = 0
+        regrows = 0
+        max_regrows = 4
         while done < n_steps:
             steps = min(inner, n_steps - done)
             snapshot = state
@@ -859,6 +850,13 @@ class MDSystem:
                     pressure=pressure, tau_p_fs=tau_p_fs,
                     compressibility=compressibility)
                 if self.overflowed(state):
+                    if regrows >= max_regrows:
+                        raise RuntimeError(
+                            "neighbor capacity still overflows after "
+                            f"{regrows} regrows -- the NPT run is "
+                            "likely unstable (collapsing cell or "
+                            "diverging positions)")
+                    regrows += 1
                     self._grow_capacity()
                     state = self._rebuild_state_lists(snapshot)
                     continue
@@ -873,6 +871,13 @@ class MDSystem:
                 # density change outran the capacities: revert, grow
                 # row/bin capacities, and redo the chunk rather than
                 # continue on dropped pairs
+                if regrows >= max_regrows:
+                    raise RuntimeError(
+                        "neighbor capacity still overflows after "
+                        f"{regrows} regrows -- the NPT run is likely "
+                        "unstable (collapsing cell or diverging "
+                        "positions)")
+                regrows += 1
                 self._grow_capacity()
                 state = self._rebuild_state_lists(snapshot)
                 continue

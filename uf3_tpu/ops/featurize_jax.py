@@ -187,20 +187,25 @@ def build_featurize_spec(bspline_config):
         n_basis=len(seqs[2]) - 4)
 
 
-def host_neighbor_arrays(geom, r_cut: float, capacity: int):
+def host_neighbor_arrays(geom, r_cut: float, capacity: int,
+                         supercell=None, matrix=None):
     """
     Exact (N, K) neighbor arrays (idx, shift, mask, rev) from the
     ghost-atom supercell -- works for arbitrarily small periodic
     cells (multiple images of the same neighbor appear as separate
-    slots with distinct shifts).
+    slots with distinct shifts).  ``supercell``/``matrix`` accept a
+    precomputed ghost supercell and geom-vs-supercell distance matrix
+    (the dominant host cost; _measured_neighbors reuses its own).
     """
     from uf3_tpu.data import geometry as geo
     n_atoms = len(geom)
-    if np.any(geom.get_pbc()):
-        supercell = geo.get_supercell(geom, r_cut=r_cut)
-    else:
-        supercell = geom
-    matrix = geo.get_distance_matrix(geom, supercell)
+    if supercell is None:
+        if np.any(geom.get_pbc()):
+            supercell = geo.get_supercell(geom, r_cut=r_cut)
+        else:
+            supercell = geom
+    if matrix is None:
+        matrix = geo.get_distance_matrix(geom, supercell)
     n_images = len(supercell) // n_atoms
     cell = geom.get_cell()
     # image offset of each supercell atom (integer lattice coordinates)
@@ -720,5 +725,6 @@ def _measured_neighbors(geom, r_cut: float, granule: int = 8):
     matrix = geo.get_distance_matrix(geom, supercell)
     counts = ((matrix > 1e-10) & (matrix < r_cut)).sum(axis=1)
     cap = _bucket_capacity(int(counts.max()), granule)
-    idx, shift, mask, rev = host_neighbor_arrays(geom, r_cut, cap)
+    idx, shift, mask, rev = host_neighbor_arrays(
+        geom, r_cut, cap, supercell=supercell, matrix=matrix)
     return idx, shift, mask, rev, cap

@@ -1083,6 +1083,9 @@ def trio_forces_unrolled(grid,
             "center_weight does not scale the per-block virial "
             "accumulator; halo MD computes stress via the oracle")
     n_atoms, capacity = nbr_idx.shape
+    # the strict-upper-triangle lane layout needs at least one m < n
+    # pair; at capacity 1 fall back to the ordered-lane kernel
+    triangle = triangle and capacity >= 2
     if cache is None:
         cache = build_pair_cache(nbr_idx, nbr_shift, nbr_mask, cell,
                                  positions.dtype)
@@ -1553,6 +1556,7 @@ def trio_short_forces(pair_coefficients, grid,
     trio legs complete.  Returns (e_short2, e3_atoms, forces)."""
     dtype = positions.dtype
     n_atoms, k3 = nbr3.idx.shape
+    triangle = triangle and k3 >= 2
     if cache3 is None:
         cache3 = build_trio_cache(nbr3, cell, dtype)
     pj = gather_rows_blocks(positions, cache3.idx_flats, n_atoms)
@@ -1687,6 +1691,7 @@ def pair_trio_forces_shared(pair_coefficients, grid,
     dtype = positions.dtype
     n_atoms, k2 = nbr2.idx.shape
     k3 = nbr3.idx.shape[1]
+    triangle = triangle and k3 >= 2
     if cache2 is None:
         cache2 = build_pair_cache(nbr2.idx, nbr2.shift, nbr2.mask,
                                   cell, dtype)

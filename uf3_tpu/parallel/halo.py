@@ -238,13 +238,20 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
     """Halo-exchange twin of `mesh.sharded_md_step_factory` for the
     fused unary fast path: returns ``(chunk, shard)`` where
     ``chunk(dec_device, x_own, v, dt)`` advances ``n_steps`` of
-    velocity-Verlet NVE and returns ``(x_own, v, f_own, energy)``;
-    ``shard(tree)`` device_puts a SlabDecomposition (or any tree of
-    (S, ...) arrays) with the shard axis on the mesh.
+    velocity-Verlet NVE and returns ``(x_own, v, f_own, energy,
+    stale)``; ``shard(tree)`` device_puts a SlabDecomposition (or any
+    tree of (S, ...) arrays) with the shard axis on the mesh.
 
     Per step: 2 `ppermute`s of (C_halo, 3) positions out + 2 of
     (C_halo, 3) trio force partials back -- no O(N) collective.  The
     energy reduction is one scalar psum.
+
+    ``stale`` (bool, replicated) is True when any owned atom moved
+    more than half the Verlet skin from its decomposition-time
+    position: the fixed local lists and halo send windows may then
+    miss interactions, so the caller must re-``decompose`` from
+    gathered positions before trusting further chunks (the same
+    contract as MDState.stale on the single-device engine).
     """
     if system.pair_fast is None or system.trio_bundle is None:
         raise ValueError("halo MD requires the fused unary fast path "
@@ -304,10 +311,12 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
     dec_specs = SlabDecomposition(
         *[P(axis_name) for _ in SlabDecomposition._fields])
 
+    skin = float(system.skin)
+
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(dec_specs, P(axis_name), P(axis_name), P()),
              out_specs=(P(axis_name), P(axis_name), P(axis_name),
-                        P()))
+                        P(), P()))
     def chunk(dec, x_own, v, dt):
         x_own, v = x_own[0], v[0]
         m = dec.masses[0]
@@ -332,8 +341,14 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
         _, energy = local_forces(x_local, dec, cell,
                                  with_energy=True)
         e1 = jnp.sum(system.params.offsets_1b[system.species])
+        # skin check against the decomposition-time positions: past
+        # half the skin the fixed lists / send windows can miss pairs
+        disp2 = jnp.sum((x_own - dec.x_own[0]) ** 2, axis=-1)
+        disp2 = jnp.where(dec.own_mask[0], disp2, 0.0)
+        stale = jax.lax.pmax(jnp.max(disp2), axis_name) \
+            > (0.5 * skin) ** 2
         return (x_own[None], v[None], f[None],
-                energy + e1.astype(dtype))
+                energy + e1.astype(dtype), stale)
 
     def shard(tree):
         sharding = NamedSharding(mesh, P(axis_name))
