@@ -450,7 +450,8 @@ class UFLammps:
         atoms.set_positions(relaxed.get_positions())
         atoms.set_cell(relaxed.get_cell())
         results = self._native_results(atoms)
-        results["nsteps"] = max_steps
+        results["nsteps"] = relaxed.info.get("relax_nsteps",
+                                             max_steps)
         return results
 
     def get_elastic_constants(self, atoms, **kwargs):

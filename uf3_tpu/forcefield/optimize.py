@@ -66,7 +66,9 @@ def relax_with_cell(geom: Atoms,
     """Alternate FIRE position relaxation with steepest-descent cell
     relaxation against the (numerical) stress tensor."""
     geom = geom.copy()
+    nsteps = 0
     for _ in range(max_steps):
+        nsteps += 1
         geom = fire_minimize(geom, calc, fmax=fmax, max_steps=100)
         stress = calc.get_stress(geom)
         if np.max(np.abs(stress)) < smax:
@@ -76,4 +78,5 @@ def relax_with_cell(geom: Atoms,
                          [stress[4], stress[3], stress[2]]])
         strain = np.eye(3) - strain_step * full
         geom.set_cell(geom.get_cell() @ strain.T, scale_atoms=True)
+    geom.info["relax_nsteps"] = nsteps
     return geom
