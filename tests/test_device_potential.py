@@ -585,3 +585,28 @@ class TestMDValidation:
             active_bc=tb.active_bc, window=tb.window, triangle=True)
         assert np.all(np.isfinite(np.asarray(f)))
         assert np.allclose(np.asarray(e), 0.0)   # no complete triangle
+
+
+def test_trajectory_writer(tmp_path):
+    """run(callback=TrajectoryWriter(...)) writes parseable extxyz
+    frames with energy, step, cell, and forces."""
+    from uf3_tpu.data import io
+    from uf3_tpu.forcefield.batch import TrajectoryWriter
+    model = ls.WeightedLinearModel.from_json(
+        os.path.join("benchmarks_data", "model_2and3.json"))
+    geom = bulk("W", "bcc", a=3.1652) * 3
+    system = MDSystem(model, geom, dtype=jnp.float64, rebuild_every=6)
+    state = system.init_state(temperature=300.0, seed=0)
+    traj_path = str(tmp_path / "traj.xyz")
+    writer = TrajectoryWriter(traj_path, system)
+    state = system.run(state, n_steps=18, dt_fs=1.0, callback=writer)
+    assert writer.frames_written == 3          # one per chunk
+    frames = io.read_xyz(traj_path)
+    assert len(frames) == 3
+    last = frames[-1]
+    assert len(last) == len(geom)
+    assert np.allclose(last.get_positions(),
+                       np.asarray(state.positions), atol=1e-9)
+    assert "fx" in last.arrays
+    assert np.isclose(last.info.get("energy", np.nan),
+                      float(state.energy), atol=1e-6)

@@ -141,3 +141,46 @@ def load_md_checkpoint(filename: str, system):
         xi=jnp.asarray(data["xi"], dtype=system.dtype),
         stale=jnp.zeros((), dtype=bool),
         cell=cell)
+
+
+class TrajectoryWriter:
+    """
+    Chunk-cadence extended-xyz trajectory writer for MDSystem.run /
+    npt_run (``callback=TrajectoryWriter(...)``) -- the counterpart of
+    the LAMMPS ``dump`` command in the reference's MD workflow
+    (supplement/melting_point/melting_uf.in).
+
+    Writes one frame per fired callback (i.e. per jit chunk, every
+    ``rebuild_every`` steps) or per ``every`` MD steps if given.
+    Frames carry the cell, per-atom positions and forces, the potential
+    energy, and the step count in the comment line.
+    """
+
+    def __init__(self, filename: str, system, every: int = None,
+                 append: bool = False):
+        self.filename = filename
+        self.system = system
+        self.every = every
+        self._next = 0 if every else None
+        if not append:
+            open(filename, "w").close()
+        self.frames_written = 0
+
+    def __call__(self, state, steps_done: int) -> None:
+        from uf3_tpu.data import io
+        if self.every is not None:
+            if steps_done < self._next:
+                return
+            self._next = steps_done + self.every
+        geom = Atoms(
+            numbers=np.asarray(self.system.atomic_numbers),
+            positions=np.asarray(state.positions),
+            cell=np.asarray(state.cell),
+            pbc=True)
+        f = np.asarray(state.forces)
+        geom.arrays["fx"], geom.arrays["fy"], geom.arrays["fz"] = \
+            f[:, 0], f[:, 1], f[:, 2]
+        geom.info["energy"] = float(state.energy)
+        geom.info["step"] = int(steps_done)
+        io.write_xyz(self.filename, [geom], append=True)
+        self.frames_written += 1

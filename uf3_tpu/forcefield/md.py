@@ -114,6 +114,7 @@ class MDSystem:
                     f"rebuild_every={rebuild_every})")
         self.respa_switch = respa_switch
         numbers = atoms.get_atomic_numbers()
+        self.atomic_numbers = np.asarray(numbers)
         self.species = jnp.asarray(
             np.asarray(self.params.z_to_species)[numbers])
         self.masses = jnp.asarray(elements.atomic_masses[numbers],
@@ -723,11 +724,17 @@ class MDSystem:
             friction_ps: float = 2.0,
             on_overflow: str = "raise",
             check_every: int = 50,
-            max_regrows: int = 4) -> MDState:
+            max_regrows: int = 4,
+            callback=None) -> MDState:
         """
         Run n_steps of MD, rebuilding neighbor lists every
         rebuild_every steps; a host loop over one compiled chunk so
         every chunk reuses the same executable.
+
+        ``callback(state, steps_done)``, when given, fires after every
+        committed chunk (a host sync each) -- the hook for trajectory
+        writers (`forcefield.batch.TrajectoryWriter`), live monitors,
+        or custom checkpointing.
 
         Neighbor-capacity overflow (silent pair truncation) cannot
         survive a run() call: the flag is accumulated on device across
@@ -788,6 +795,8 @@ class MDSystem:
                     self._check_overflow(any_over, on_overflow)
             any_stale = any_stale | state.stale
             remaining -= steps
+            if callback is not None:
+                callback(state, n_steps - remaining)
         if on_overflow != "regrow":
             self._check_overflow(any_over, on_overflow)
         return state._replace(stale=any_stale)
@@ -814,7 +823,8 @@ class MDSystem:
                 compressibility: float = 5e-3,
                 friction_ps: float = 2.0,
                 barostat: str = "scr",
-                atoms_template=None):
+                atoms_template=None,
+                callback=None):
         """
         NPT molecular dynamics (Langevin thermostat).  Barostats:
 
@@ -862,6 +872,8 @@ class MDSystem:
                     continue
                 done += steps
                 cells.append(np.asarray(state.cell))
+                if callback is not None:
+                    callback(state, done)
                 continue
             state = self._run_chunk(state, n_steps=steps, dt_fs=dt_fs,
                                     thermostat="langevin",
@@ -893,6 +905,8 @@ class MDSystem:
             state = state._replace(positions=state.positions * scale,
                                    cell=state.cell * scale)
             cells.append(np.asarray(state.cell))
+            if callback is not None:
+                callback(state, done)
         return state, cells
 
     def overflowed(self, state: MDState) -> bool:
