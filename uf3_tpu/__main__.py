@@ -88,11 +88,16 @@ def cmd_md(model_path: str, args) -> None:
     system = MDSystem(model, atoms, dtype=jnp.float32,
                       n_respa=args.respa)
     state = system.init_state(temperature=args.temperature)
+    callback = None
+    if args.traj:
+        from uf3_tpu.forcefield.batch import TrajectoryWriter
+        callback = TrajectoryWriter(args.traj, system)
     import time
     t0 = time.time()
     state = system.run(state, n_steps=args.steps, dt_fs=args.dt,
                        thermostat="langevin",
-                       temperature=args.temperature)
+                       temperature=args.temperature,
+                       callback=callback)
     elapsed = time.time() - t0
     print(f"{args.steps} steps in {elapsed:.2f} s "
           f"({len(atoms) * args.steps / elapsed:.3e} atom-steps/s); "
@@ -126,6 +131,9 @@ def main() -> None:
     p_md.add_argument("--respa", type=int, default=1,
                       help="r-RESPA inner steps per outer step "
                            "(1 = plain velocity Verlet)")
+    p_md.add_argument("--traj", default=None,
+                      help="write an extended-xyz trajectory (one "
+                           "frame per chunk) to this path")
     p_export = sub.add_parser("export")
     p_export.add_argument("model")
     p_export.add_argument("--out", default=".")
