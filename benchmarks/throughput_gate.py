@@ -1,0 +1,191 @@
+"""
+TPU throughput gate: fail fast when MD throughput regresses.
+
+Measures the headline bench configuration (9,826-atom 2+3-body W MD,
+bench.py conditions) plus a per-phase breakdown, writes a JSON
+artifact stamped with the git commit, and exits non-zero when
+end-to-end throughput falls below the committed threshold.  This is
+the guard VERDICT r2 asked for: round 2 shipped a 2.4x silent
+regression because STATUS numbers were never re-measured from the
+committed tree.
+
+Runs in <2 min when the persistent compile cache (.jax_cache) is
+warm.  Usage:
+
+    python benchmarks/throughput_gate.py            # gate (exit 1 on fail)
+    python benchmarks/throughput_gate.py --no-gate  # measure + artifact only
+
+Artifacts land in benchmarks_data/artifacts/bench_<commit>.json and
+are meant to be committed alongside any perf claim in STATUS.md.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# sitecustomize imports jax before this module runs; env must be set
+# pre-exec for the persistent compile cache to engage
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        REPO, ".jax_cache")
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, REPO)
+
+from uf3_tpu.data.atoms import bulk  # noqa: E402
+from uf3_tpu.forcefield.md import MDSystem  # noqa: E402
+from uf3_tpu.ops import pallas_trio as pt  # noqa: E402
+from uf3_tpu.regression import least_squares as ls  # noqa: E402
+
+# committed floor for the headline metric on a single v5e chip.  The
+# gate trips on any >~25% regression from the round-3 measured
+# 4.1e6; a deliberate 2x slowdown lands at ~2e6 and fails hard.
+THRESHOLD_ATOM_STEPS = 3.1e6
+
+
+def timeit_ms(fn, *args, iters=30, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-gate", action="store_true",
+                    help="measure and write the artifact, never fail")
+    args = ap.parse_args()
+
+    platform = jax.devices()[0].platform
+    model = ls.WeightedLinearModel.from_json(
+        os.path.join(REPO, "benchmarks_data", "model_2and3.json"))
+    geom = bulk("W", "bcc", a=3.1652) * (17, 17, 17)
+    n = len(geom)
+    dtype = jnp.float32 if platform != "cpu" else jnp.float64
+    system = MDSystem(model, geom, dtype=dtype, rebuild_every=18,
+                      skin=0.5, skin_2b=1.2, capacity_2b=72,
+                      capacity_3b=16, n_respa=3)
+    state = system.init_state(temperature=300.0, seed=0)
+    state = system.run(state, n_steps=126, dt_fs=2.0,
+                       thermostat="langevin", temperature=300.0)
+    jax.block_until_ready(state.positions)
+
+    # end-to-end: identical conditions to bench.py's timed section
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state = system.run(state, n_steps=18, dt_fs=2.0,
+                               thermostat="langevin",
+                               temperature=300.0)
+        jax.block_until_ready(state.positions)
+        best = max(best, n * 180 / (time.perf_counter() - t0))
+    assert not system.overflowed(state), "capacity overflow in gate"
+
+    # per-phase breakdown at the equilibrated state
+    x, nbr2, nbr3, cell = (state.positions, state.nbr2, state.nbr3,
+                           state.cell)
+    cache2 = pt.build_pair_cache(nbr2.idx, nbr2.shift, nbr2.mask,
+                                 cell, dtype)
+    cache3 = pt.build_trio_cache(nbr3, cell, dtype)
+    spec, coeff = system.pair_fast
+    tb = system.trio_bundle
+    r_lo, r_hi = system.respa_switch
+
+    @jax.jit
+    def fused_forces(x):
+        _, f, _ = system.energy_forces(x, nbr2, nbr3,
+                                       with_energy=False,
+                                       cache2=cache2, cache3=cache3)
+        return f
+
+    @jax.jit
+    def respa_short(x):
+        _, _, f = pt.trio_short_forces(
+            coeff, tb.grid, x, cell, nbr3, spec_pair=spec,
+            n_basis_pair=spec.n_basis, spec_l=tb.spec_l,
+            spec_n=tb.spec_n, l_basis=tb.l_basis,
+            n_basis=tb.n_basis, with_energy=False,
+            active_bc=tb.active_bc, window=tb.window, r_lo=r_lo,
+            r_hi=r_hi, cache3=cache3)
+        return f
+
+    @jax.jit
+    def respa_tail(x):
+        _, f = pt.pair_tail_forces(
+            coeff, x, cell, nbr2, spec_pair=spec,
+            n_basis_pair=spec.n_basis, with_energy=False,
+            r_lo=r_lo, r_hi=r_hi, cache2=cache2)
+        return f
+
+    @jax.jit
+    def rebuild_full(x):
+        return system.build_lists(x, cell, wrapped=True)
+
+    @jax.jit
+    def rebuild_filter(x):
+        from uf3_tpu.ops import neighbors as nb
+        return nb.filter_neighbor_list(
+            nbr2, x, cell, system.r_cut_3b + system.skin,
+            system.capacity_3b)
+
+    breakdown_ms = {
+        "fused_forces": timeit_ms(fused_forces, x),
+        "respa_inner_short": timeit_ms(respa_short, x),
+        "respa_outer_tail": timeit_ms(respa_tail, x),
+        "rebuild_full": timeit_ms(rebuild_full, x, iters=5),
+        "rebuild_3b_filter": timeit_ms(rebuild_filter, x, iters=10),
+    }
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True).stdout.strip() or "unknown"
+    dirty = bool(subprocess.run(
+        ["git", "status", "--porcelain", "-uno"], cwd=REPO,
+        capture_output=True, text=True).stdout.strip())
+    gate_on = platform != "cpu" and not args.no_gate
+    passed = best >= THRESHOLD_ATOM_STEPS
+    artifact = {
+        "metric": "atom-steps/s (2+3-body W MD, 9826 atoms)",
+        "value": round(best, 1),
+        "threshold": THRESHOLD_ATOM_STEPS,
+        "passed": passed,
+        "gated": gate_on,
+        "platform": platform,
+        "commit": commit + ("-dirty" if dirty else ""),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "breakdown_ms": {k: round(v, 3)
+                         for k, v in breakdown_ms.items()},
+        "config": {"n_atoms": n, "n_respa": 3, "rebuild_every": 18,
+                   "capacity_2b": 72, "capacity_3b": 16},
+    }
+    out_dir = os.path.join(REPO, "benchmarks_data", "artifacts")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"bench_{commit}.json")
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact))
+    print(f"artifact: {out_path}", file=sys.stderr)
+    if gate_on and not passed:
+        print(f"THROUGHPUT GATE FAILED: {best:.3e} < "
+              f"{THRESHOLD_ATOM_STEPS:.3e} atom-steps/s",
+              file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -442,16 +442,29 @@ class TestNPT:
         return system, state._replace(positions=squeezed)
 
     def test_run_raises_on_overflow(self):
-        """Silent pair truncation cannot survive run(): the overflow
-        flag accumulated across chunk rebuilds raises at return."""
+        """Silent pair truncation cannot survive the run loop: the
+        per-chunk overflow flags are polled asynchronously (so the
+        check never stalls dispatch) and raise at the next run() call
+        once the flag reaches the host; overflowed() is the
+        synchronous check."""
         system, state = self._overflowing_state()
+        out = system.run(state, n_steps=2, dt_fs=0.1)
+        jax.block_until_ready(out.positions)
         with pytest.raises(RuntimeError, match="capacity exceeded"):
-            system.run(state, n_steps=2, dt_fs=0.1)
+            system.run(out, n_steps=2, dt_fs=0.1)
+
+    def test_overflowed_is_synchronous(self):
+        system, state = self._overflowing_state()
+        out = system.run(state, n_steps=2, dt_fs=0.1)
+        assert system.overflowed(out)
 
     def test_run_warn_on_overflow(self):
         system, state = self._overflowing_state()
+        out = system.run(state, n_steps=2, dt_fs=0.1,
+                         on_overflow="warn")
+        jax.block_until_ready(out.positions)
         with pytest.warns(UserWarning, match="capacity exceeded"):
-            system.run(state, n_steps=2, dt_fs=0.1,
+            system.run(out, n_steps=2, dt_fs=0.1,
                        on_overflow="warn")
 
     def test_run_regrows_on_overflow(self):

@@ -52,7 +52,9 @@ class MDSystem:
                  skin_2b: float = None,
                  rebuild_every: int = 20,
                  n_respa: int = 1,
-                 respa_switch: tuple = None):
+                 respa_switch: tuple = None,
+                 fused: str = "shared",
+                 trio_triangle: bool = False):
         self.params, self.static = pot.build_potential(model, dtype=dtype)
         from uf3_tpu.ops import pallas_trio as pt
         self.trio_bundle = pt.build_trio_pallas(model, dtype=dtype)
@@ -66,8 +68,26 @@ class MDSystem:
         if self.trio_bundle is None or self.pair_fast is None:
             self.trio_multi = pt.build_trio_multi(model, dtype=dtype)
             self.pair_multi = pt.build_pair_multi(model, dtype=dtype)
+        if fused not in ("separate", "shared"):
+            raise ValueError("fused must be 'separate' or 'shared'")
+        # kernel-route selector: "shared" feeds both kernels from one
+        # (N, K2) position gather via the filtered list's parent-slot
+        # map (measured 3.22e6 vs 3.01e6 atom-steps/s for "separate"
+        # at 9826 atoms, v5e); "separate" runs the pair and trio
+        # kernels on their own gathers
+        self.fused = fused
+        # triangle-lane trio kernel (half the pair-lane work for
+        # symmetric unary grids): measured SLOWER than the full
+        # pair-lane layout at 10k atoms (the lane shuffles cost more
+        # than the halved reduce) -- opt-in
+        self.trio_triangle = bool(trio_triangle)
         self.dtype = dtype
         self.skin = float(skin)
+        # per-chunk overflow flags not yet resolved on host: polled
+        # without blocking so overflow checking never syncs the
+        # dispatch pipeline (the round-2 per-run() sync cost ~40% of
+        # MD throughput at 10k atoms)
+        self._pending_overflow = []
         # two-tier skins: a larger 2-body skin makes the expensive
         # O(N^2)/cell-list rebuild rare, while the (binding) 3-body
         # list is cheaply re-filtered from the still-valid 2-body list
@@ -267,7 +287,8 @@ class MDSystem:
                 if with_virial else None
             return (e1 + e2 + jnp.sum(e3), f2 + f3, virial)
         if (self.trio_bundle is not None and self.pair_fast is not None
-                and nbr3 is not None and nbr3.sel is not None):
+                and nbr3 is not None and nbr3.sel is not None
+                and self.fused == "shared"):
             # shared-gather fast path: one (N, K2) position gather
             # feeds both kernels; trio displacements selected from the
             # pair rows via the filtered list's parent-slot map
@@ -282,7 +303,8 @@ class MDSystem:
                 l_basis=tb.l_basis, n_basis=tb.n_basis,
                 with_energy=with_energy, with_virial=with_virial,
                 active_bc=tb.active_bc, window=tb.window,
-                triangle=tb.symmetric, cache2=cache2, cache3=cache3)
+                triangle=tb.symmetric and self.trio_triangle,
+                cache2=cache2, cache3=cache3)
             virial = self._voigt6_to_matrix(v6) if with_virial \
                 else None
             return (e1 + e2 + jnp.sum(e3), forces, virial)
@@ -319,7 +341,8 @@ class MDSystem:
                 with_energy=with_energy, with_virial=with_virial,
                 active_bc=self.trio_bundle.active_bc,
                 window=self.trio_bundle.window,
-                triangle=self.trio_bundle.symmetric, cache=cache3)
+                triangle=(self.trio_bundle.symmetric
+                          and self.trio_triangle), cache=cache3)
             e3, f3 = out3[0], out3[1]
             virial = self._voigt6_to_matrix(v2 + out3[2]) \
                 if with_virial else None
@@ -617,7 +640,8 @@ class MDSystem:
                 l_basis=tb.l_basis, n_basis=tb.n_basis,
                 with_energy=with_energy, active_bc=tb.active_bc,
                 window=tb.window, r_lo=r_lo, r_hi=r_hi,
-                triangle=tb.symmetric, cache3=cache3)
+                triangle=tb.symmetric and self.trio_triangle,
+                cache3=cache3)
 
         def tail_forces(xx, with_energy=False):
             return pt.pair_tail_forces(
@@ -736,12 +760,20 @@ class MDSystem:
         writers (`forcefield.batch.TrajectoryWriter`), live monitors,
         or custom checkpointing.
 
-        Neighbor-capacity overflow (silent pair truncation) cannot
-        survive a run() call: the flag is accumulated on device across
-        every chunk's rebuild and checked at return plus every
-        ``check_every`` chunks (one host sync each).  ``on_overflow``:
+        Neighbor-capacity overflow (silent pair truncation) is
+        detected without stalling the dispatch pipeline: each chunk's
+        overflow flag is queued and polled on the host as soon as its
+        transfer completes (``jax.Array.is_ready``, no sync), with a
+        hard host sync only once the backlog reaches ``check_every``
+        chunks.  Detection is therefore asynchronous -- an overflow
+        raises within a few chunks, at the latest ``check_every``
+        chunks after it happened, possibly from a LATER run() call
+        (pending flags persist on the system).  For a synchronous
+        guarantee at the end of a run, call ``overflowed(state)``
+        (one host sync), as bench.py and the examples do.
+        ``on_overflow``:
 
-        - "raise": RuntimeError at the next check (default);
+        - "raise": RuntimeError at the next poll (default);
         - "warn": warnings.warn, keep going (nearest pairs are kept,
           so truncation errors are bounded but real);
         - "regrow": revert the offending chunk, grow row/bin
@@ -751,10 +783,9 @@ class MDSystem:
         """
         inner = min(self.rebuild_every, n_steps)
         any_stale = jnp.zeros((), dtype=bool)
-        any_over = jnp.zeros((), dtype=bool)
         remaining = n_steps
-        chunks = 0
         regrows = 0
+        self._poll_overflow(on_overflow, check_every)
         while remaining > 0:
             snapshot = state if on_overflow == "regrow" else None
             if self.n_respa > 1 and remaining >= self.n_respa:
@@ -789,22 +820,33 @@ class MDSystem:
                 over = state.nbr2.overflow
                 if state.nbr3 is not None:
                     over = over | state.nbr3.overflow
-                any_over = any_over | over
-                chunks += 1
-                if chunks % max(1, check_every) == 0:
-                    self._check_overflow(any_over, on_overflow)
+                self._pending_overflow.append(over)
+                self._poll_overflow(on_overflow, check_every)
             any_stale = any_stale | state.stale
             remaining -= steps
             if callback is not None:
                 callback(state, n_steps - remaining)
         if on_overflow != "regrow":
-            self._check_overflow(any_over, on_overflow)
+            self._poll_overflow(on_overflow, check_every)
         return state._replace(stale=any_stale)
 
+    def _poll_overflow(self, on_overflow: str, check_every: int):
+        """Resolve queued per-chunk overflow flags without blocking:
+        pop every flag whose device->host transfer already finished;
+        block on the oldest only when the backlog reaches
+        ``check_every`` (bounds how long an overflow can stay
+        undetected).  Chunks execute in dispatch order, so draining
+        from the front never waits on an unfinished chunk while a
+        finished one goes unchecked."""
+        pending = self._pending_overflow
+        while pending and (pending[0].is_ready()
+                           or len(pending) >= max(1, check_every)):
+            if bool(pending.pop(0)):
+                pending.clear()
+                self._report_overflow(on_overflow)
+
     @staticmethod
-    def _check_overflow(flag, on_overflow: str):
-        if not bool(flag):
-            return
+    def _report_overflow(on_overflow: str):
         message = ("neighbor capacity exceeded during MD: farthest "
                    "pairs were dropped at a rebuild; increase "
                    "capacity_2b/capacity_3b (or use "
@@ -916,7 +958,13 @@ class MDSystem:
         flag = state.nbr2.overflow
         if state.nbr3 is not None:
             flag = flag | state.nbr3.overflow
-        return bool(flag)
+        # also drain any overflow flags still queued from past chunks
+        # (async detection in run()): this is the synchronous check
+        hit = bool(flag)
+        for f in self._pending_overflow:
+            hit = hit or bool(f)
+        self._pending_overflow.clear()
+        return hit
 
     # -- observables --------------------------------------------------------
     def temperature(self, state: MDState) -> float:
