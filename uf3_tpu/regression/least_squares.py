@@ -23,47 +23,53 @@ from uf3_tpu.util import json_io
 
 
 class VarianceRecorder:
-    """Online mean/std accumulation across batches."""
+    """Streaming population mean/std over batches.
+
+    Internally carries Chan-style moments (count, mean, M2 = summed
+    squared deviations), which merge exactly across batches of any
+    size; ``mean``/``std`` are derived views of the moments.  Used by
+    the fit pipeline to size the 1/(sqrt(n) sigma) channel weights
+    (reference semantics: uf3/regression/least_squares.py:19-60).
+    """
 
     def __init__(self, mean=0, std=0, n=0):
-        self.mean = mean
-        self.std = std
         self.n = int(n)
+        self._mean = np.asarray(mean, dtype=float) if n else 0.0
+        self._m2 = (np.asarray(std, dtype=float) ** 2 * n) if n else 0.0
+
+    @property
+    def mean(self):
+        return self._mean
+
+    @property
+    def std(self):
+        return np.sqrt(self._m2 / self.n) if self.n else 0.0
 
     def update(self, batch: Collection) -> Tuple:
-        batch = np.asarray(batch)
-        if len(batch) == 0:
-            return self.mean, self.std, self.n
-        if self.n == 0:
-            self.mean = np.mean(batch, axis=0)
-            self.std = np.std(batch, axis=0)
-            self.n = len(batch)
-            return self.mean, self.std, self.n
-        m = float(self.n)
-        n = len(batch)
-        batch_mean = np.mean(batch, axis=0)
-        batch_std = np.std(batch, axis=0)
-        var = (m / (m + n) * self.std ** 2
-               + n / (m + n) * batch_std ** 2
-               + m * n / (m + n) ** 2 * (self.mean - batch_mean) ** 2)
-        self.std = np.sqrt(var)
-        self.mean = m / (m + n) * self.mean + n / (m + n) * batch_mean
-        self.n += n
+        batch = np.asarray(batch, dtype=float)
+        n_b = len(batch)
+        if n_b:
+            mean_b = batch.mean(axis=0)
+            m2_b = ((batch - mean_b) ** 2).sum(axis=0)
+            total = self.n + n_b
+            delta = mean_b - self._mean
+            self._m2 = (self._m2 + m2_b
+                        + delta * delta * (self.n * n_b / total))
+            self._mean = self._mean + delta * (n_b / total)
+            self.n = total
         return self.mean, self.std, self.n
 
     def update_with_components(self, df: pd.DataFrame, keys=None):
+        """Fold the flattened force components of ``df`` into the
+        stream, skipping rows with missing entries."""
         keys = keys or ["fx", "fy", "fz"]
-        batch = []
         for _, row in df[keys].iterrows():
-            components = [row[k] for k in keys]
+            cols = [row[k] for k in keys]
             if any(c is None or (np.isscalar(c) and pd.isna(c))
-                   for c in components):
+                   for c in cols):
                 continue
-            if np.ndim(components) > 1:
-                components = list(np.concatenate(
-                    [np.atleast_1d(c) for c in components]))
-            batch.extend(components)
-        self.update(batch)
+            self.update(np.concatenate(
+                [np.ravel(np.asarray(c, dtype=float)) for c in cols]))
         return self.mean, self.std, self.n
 
 
@@ -201,12 +207,9 @@ class BasicLinearModel:
 
     def fit(self, x, y, ridge_penalty: float = 1e-8):
         gram, ordinate = moore_penrose_components(x, y)
-        if self.regularizer is None:
-            regularizer = np.eye(len(gram)) * ridge_penalty
-        else:
-            regularizer = self.regularizer
-        regularizer = np.dot(regularizer.T, regularizer)
-        self.coefficients = lu_factorization(gram + regularizer, ordinate)
+        reg = (np.eye(len(gram)) * ridge_penalty
+               if self.regularizer is None else self.regularizer)
+        self.coefficients = lu_factorization(gram + reg.T @ reg, ordinate)
 
     def predict(self, x):
         return np.dot(x, self.coefficients)
@@ -242,32 +245,24 @@ class WeightedLinearModel(BasicLinearModel):
             self.set_params(**params)
 
     def set_params(self, **params):
-        if "bspline_config" in params:
-            self.bspline_config = params["bspline_config"]
-        if "regularizer" in params:
+        self.bspline_config = params.get("bspline_config",
+                                         self.bspline_config)
+        try:
             self.regularizer = params["regularizer"]
-        elif self.regularizer is None:
-            reg_params = {k: v for k, v in params.items()
-                          if isinstance(v, (int, float, np.floating))}
+        except KeyError:
+            pass
+        if "regularizer" not in params and self.regularizer is None:
+            scalars = {k: v for k, v in params.items()
+                       if isinstance(v, (int, float, np.floating))}
             self.regularizer = \
-                self.bspline_config.get_regularization_matrix(**reg_params)
+                self.bspline_config.get_regularization_matrix(**scalars)
 
-    # -- properties ---------------------------------------------------------
-    @property
-    def n_feats(self) -> int:
-        return self.bspline_config.n_feats
-
-    @property
-    def frozen_c(self):
-        return self.bspline_config.frozen_c
-
-    @property
-    def col_idx(self):
-        return self.bspline_config.col_idx
-
-    @property
-    def mask(self):
-        return get_freezing_mask(self.n_feats, self.col_idx)
+    # -- delegation views onto the basis config ------------------------------
+    n_feats = property(lambda self: self.bspline_config.n_feats)
+    frozen_c = property(lambda self: self.bspline_config.frozen_c)
+    col_idx = property(lambda self: self.bspline_config.col_idx)
+    mask = property(
+        lambda self: get_freezing_mask(self.n_feats, self.col_idx))
 
     def __repr__(self):
         fit = "True" if self.coefficients is not None else "False"
@@ -282,9 +277,8 @@ class WeightedLinearModel(BasicLinearModel):
                                               self.col_idx)
         self.data_coverage = np.logical_or(self.data_coverage,
                                            coverage.astype(bool))
-        regularizer = freeze_regularizer(self.regularizer, self.mask)
-        regularizer = np.dot(regularizer.T, regularizer)
-        coefficients = lu_factorization(gram + regularizer, ordinate)
+        reg = freeze_regularizer(self.regularizer, self.mask)
+        coefficients = lu_factorization(gram + reg.T @ reg, ordinate)
         self.coefficients = revert_frozen_coefficients(
             coefficients, self.n_feats, self.mask, self.frozen_c,
             self.col_idx)
@@ -389,13 +383,11 @@ class WeightedLinearModel(BasicLinearModel):
         y_e, p_e, y_f, p_f = batched_prediction(
             self, filename, table_names=table_names, subset_keys=keys,
             n_elements=n_elements, drop_columns=drop_columns)
-        if score:
-            rmse_e = rmse_metric(y_e, p_e)
-            rmse_f = rmse_metric(y_f, p_f)
-            print(f"RMSE (energy): {rmse_e:.3F}")
-            print(f"RMSE (forces): {rmse_f:.3F}")
-            return y_e, p_e, y_f, p_f, rmse_e, rmse_f
-        return y_e, p_e, y_f, p_f
+        if not score:
+            return y_e, p_e, y_f, p_f
+        rmse_e, rmse_f = rmse_metric(y_e, p_e), rmse_metric(y_f, p_f)
+        print(f"RMSE (energy): {rmse_e:.3F}\nRMSE (forces): {rmse_f:.3F}")
+        return y_e, p_e, y_f, p_f, rmse_e, rmse_f
 
     # -- serialization ------------------------------------------------------
     @staticmethod
@@ -439,49 +431,45 @@ class WeightedLinearModel(BasicLinearModel):
             solution = json_io.load_interaction_map(filename)
         elif solution is None:
             raise ValueError("Neither solution nor filename provided.")
-        if "coefficients" in solution:
-            solution = solution["coefficients"]
-        elif "solution" in solution:
-            solution = solution["solution"]
-        solution = dict(solution)
-        for key in list(solution):
-            if isinstance(key, tuple):
-                sorted_key = composition.sort_interaction_symbols(key)
-                if sorted_key != key:
-                    solution[sorted_key] = solution[key]
-        component_len = self.bspline_config.get_interaction_partitions()[0]
-        for pair in self.bspline_config.interactions_map[2]:
-            n_target = component_len[pair]
+        for nesting in ("coefficients", "solution"):
+            if nesting in solution:
+                solution = solution[nesting]
+                break
+        # Canonicalize interaction keys to electronegativity order.
+        solution = {
+            composition.sort_interaction_symbols(k)
+            if isinstance(k, tuple) else k: v
+            for k, v in dict(solution).items()}
+        cfg = self.bspline_config
+        component_len = cfg.get_interaction_partitions()[0]
+
+        def checked(key, vec):
+            if len(vec) != component_len[key]:
+                raise ValueError(
+                    f"Incorrect shape: {key}, "
+                    f"{len(vec)} != {component_len[key]}")
+            return vec
+
+        segments = [np.atleast_1d(solution[el]) for el in cfg.element_list]
+        for pair in cfg.interactions_map[2]:
             if pair not in solution:
                 warnings.warn(f"{pair} not provided.")
-                solution[pair] = np.zeros(n_target)
-            if len(solution[pair]) != n_target:
-                raise ValueError(f"Incorrect shape: {pair}, "
-                                 f"{len(solution[pair])} != {n_target}")
-        for trio in self.bspline_config.interactions_map.get(3, []):
-            n_target = component_len[trio]
+                solution[pair] = np.zeros(component_len[pair])
+            segments.append(checked(pair, solution[pair]))
+        for trio in cfg.interactions_map.get(3, []):
             if trio not in solution:
                 warnings.warn(f"{trio} not provided.")
                 continue
-            component = np.array(solution[trio])
-            if component.ndim > 1:
-                solution[trio] = self.bspline_config.compress_3B(
-                    component, trio, fitting=False)
-            if len(solution[trio]) != n_target:
-                raise ValueError(f"Incorrect shape: {trio}, "
-                                 f"{len(solution[trio])} != {n_target}")
-        flattened = [[solution[element]]
-                     for element in self.bspline_config.element_list]
-        for degree in range(2, self.bspline_config.degree + 1):
-            for interaction in \
-                    self.bspline_config.interactions_map[degree]:
-                flattened.append(solution[interaction])
-        flattened = np.concatenate(flattened)
-        n_coefficients = sum(self.bspline_config.partition_sizes)
+            grid = np.array(solution[trio])
+            if grid.ndim > 1:  # full LxMxN grid -> symmetry-compressed
+                grid = cfg.compress_3B(grid, trio, fitting=False)
+            segments.append(checked(trio, grid))
+        flattened = np.concatenate(segments)
+        n_coefficients = sum(cfg.partition_sizes)
         if len(flattened) != n_coefficients:
             raise ValueError(f"Incorrect coefficients: {len(flattened)} "
                              f"provided, {n_coefficients} expected.")
-        self.coefficients = np.array(flattened)
+        self.coefficients = flattened
 
     def dump(self):
         return self.as_dict()
@@ -492,24 +480,21 @@ class WeightedLinearModel(BasicLinearModel):
         Taylor extrapolation of the fitted spline."""
         sizes, offsets = self.bspline_config.get_interaction_partitions()
         offset, n_basis = offsets[pair], sizes[pair]
-        idx_subset = np.arange(offset, offset + n_basis)
-        c_subset = self.coefficients[idx_subset]
-        coverage = self.data_coverage[idx_subset]
-        min_coverage = int(np.argmax(coverage))
-        if min_coverage == 0:
+        rows = slice(offset, offset + n_basis)
+        c_subset = self.coefficients[rows]
+        first_covered = int(np.argmax(self.data_coverage[rows]))
+        if first_covered == 0:
             print(f"Coverage is sufficient; no fix applied to {pair}.")
         idx_fix = np.arange(self.bspline_config.leading_trim[2],
-                            min_coverage)
+                            first_covered)
         knot_sequence = self.bspline_config.knots_map[pair]
         r_centers = knot_sequence[2:n_basis + 2]
-        if r_target is None:
-            r_target = r_centers[min_coverage]
-        r_centers = r_centers[idx_fix]
         c_new = get_spline_taylor_expansion(
-            r_target, r_centers, c_subset, knot_sequence,
+            r_centers[first_covered] if r_target is None else r_target,
+            r_centers[idx_fix], c_subset, knot_sequence,
             min_curvature=min_curvature)
         print(f"{pair} Correction: adjusted {len(idx_fix)} coefficients.")
-        self.coefficients[idx_subset[idx_fix]] = c_new
+        self.coefficients[offset + idx_fix] = c_new
 
 
 def get_spline_taylor_expansion(r_target, r, coefficients, knot_sequence,
@@ -592,31 +577,33 @@ def postprocess_coefficients_2b(coefficients,
                                 in_place: bool = False) -> np.ndarray:
     """Enforce a repulsive core (and optionally smooth cutoff) on fitted
     pair coefficients (reference least_squares.py:1075-1144)."""
-    if not in_place:
-        coefficients = np.array(coefficients)
-    well_idx = find_pair_potential_well(coefficients, rounding_factor)
+    c = coefficients if in_place else np.array(coefficients)
+    well_idx = find_pair_potential_well(c, rounding_factor)
     if well_idx > 1:
-        peak_search = np.round(coefficients[:well_idx], rounding_factor)
-        peak_search = peak_search + (np.arange(len(peak_search))
-                                     * 10 ** (-2 * rounding_factor))
-        gradient = np.gradient(peak_search)
-        peak_idx = np.argmax(peak_search)
-        if np.all(gradient[:peak_idx] >= 0):
-            for i in np.arange(peak_idx)[::-1]:
-                value = np.abs(coefficients[i + 1]) * core_hardness
-                coefficients[i] = max(value, min_slope)
-    if coefficients[0] < min_core:
-        coefficients[0] = min_core
+        # Tiny monotone tie-breaker so flat plateaus resolve rightward.
+        tilt = np.arange(well_idx) * 10 ** (-2 * rounding_factor)
+        head = np.round(c[:well_idx], rounding_factor) + tilt
+        peak_idx = int(np.argmax(head))
+        monotone = bool(np.all(np.gradient(head)[:peak_idx] >= 0))
+        if monotone:
+            # Geometric core: each knot >= hardness x its right neighbor,
+            # floored at min_slope; sequential because each step reads
+            # the value the previous one just wrote.
+            for i in range(peak_idx - 1, -1, -1):
+                c[i] = max(abs(c[i + 1]) * core_hardness, min_slope)
+    c[0] = max(c[0], min_core)
     if smooth_cutoff:
-        coefficients[-2:] = 0
-    return coefficients
+        c[-2:] = 0
+    return c
 
 
 def find_pair_potential_well(coefficients, rounding_factor) -> int:
-    peak_idx = np.argmax(coefficients)
-    well_idx = np.argmin(coefficients)
-    if well_idx < peak_idx:
-        well_search = np.round(coefficients[:peak_idx], rounding_factor)
-        if np.ptp(well_search) < 10 ** -(rounding_factor - 1):
-            well_idx = peak_idx + 1
+    """Index of the attractive minimum; if everything left of the peak is
+    flat to rounding precision, place it just past the peak instead."""
+    peak_idx, well_idx = np.argmax(coefficients), np.argmin(coefficients)
+    flat_tol = 10 ** -(rounding_factor - 1)
+    if (well_idx < peak_idx
+            and np.ptp(np.round(coefficients[:peak_idx],
+                                rounding_factor)) < flat_tol):
+        well_idx = peak_idx + 1
     return well_idx

@@ -27,31 +27,31 @@ def get_element_tuple(string: str):
 
 
 def type_check(value, reference):
-    type_target = type(reference)
-    type_user = type(value)
-    if type_target is bool:
+    """Coerce a user-supplied ``value`` toward the type of the packaged
+    default ``reference``.  Scalars cast when the cast is meaningful
+    (YAML often parses numbers as strings), sequences normalize to
+    lists, and dicts recurse through consistency_check; anything else
+    passes through untouched so unknown shapes fail later with a clear
+    error at the consuming handler."""
+    if isinstance(reference, bool):
         return bool(value)
-    if type_target in (int, float, np.floating):
-        if type_user in (int, float, np.floating, str):
-            return type_target(value)
-    elif type_target in (list, tuple):
-        if type_user in (list, tuple):
-            return list(value)
-    elif type_target is dict:
+    if isinstance(reference, (int, float, np.floating)) \
+            and isinstance(value, (int, float, np.floating, str)):
+        return type(reference)(value)
+    if isinstance(reference, (list, tuple)) \
+            and isinstance(value, (list, tuple)):
+        return list(value)
+    if isinstance(reference, dict):
         return consistency_check(value, reference)
-    elif type_target is type_user or reference is None:
-        return value
     return value
 
 
 def consistency_check(settings: Dict, reference: Dict) -> Dict:
-    settings = {k: v for k, v in settings.items() if k in reference}
-    for key in reference:
-        if key in settings:
-            settings[key] = type_check(settings[key], reference[key])
-        else:
-            settings[key] = reference[key]
-    return settings
+    """Merge ``settings`` over the ``reference`` defaults: unknown keys
+    drop, missing keys fill from the defaults, shared keys coerce."""
+    return {key: type_check(settings[key], default)
+            if key in settings else default
+            for key, default in reference.items()}
 
 
 def read_config(settings_filename: str) -> Dict:
@@ -70,56 +70,73 @@ def read_config(settings_filename: str) -> Dict:
     return settings
 
 
+def _build_data(settings, handlers):
+    return io.DataCoordinator.from_config(settings["data"]["keys"])
+
+
+def _build_chemical_system(settings, handlers):
+    if not settings["elements"]:
+        return None
+    return composition.ChemicalSystem(element_list=settings["elements"],
+                                      degree=settings["degree"])
+
+
+def _build_basis(settings, handlers):
+    block = {**settings["basis"], **handlers["chemical_system"].as_dict()}
+    return basis.BSplineBasis.from_dict(block)
+
+
+def _build_features(settings, handlers):
+    block = settings["features"]
+    return process.BasisFeaturizer(
+        handlers["basis"],
+        fit_forces=block.get("fit_forces", True),
+        prefix=block.get("column_prefix", "x"))
+
+
+def _build_model(settings, handlers):
+    model_path = settings["model"].get("model_path", "")
+    if not os.path.isfile(model_path):
+        return None
+    model = least_squares.WeightedLinearModel(handlers["basis"])
+    model.load(filename=model_path)
+    return model
+
+
+def _build_learning(settings, handlers):
+    # YAML spells the penalties out ("curvature_2b"); the model kwargs
+    # use the short forms ("c_2b", "ridge" -> "r").
+    reg = {k.replace("curvature", "c").replace("ridge", "r"): v
+           for k, v in settings["learning"]["regularizer"].items()}
+    return least_squares.WeightedLinearModel(handlers["basis"], **reg)
+
+
+# handler name -> (settings keys required, handlers required, builder).
+# Order matters: later builders consume earlier handlers.
+_HANDLER_RECIPES = (
+    ("data", ("data",), (), _build_data),
+    ("chemical_system", ("elements", "degree"), (), _build_chemical_system),
+    ("basis", ("basis",), ("chemical_system",), _build_basis),
+    ("features", ("features",), ("basis",), _build_features),
+    ("model", ("model",), ("basis",), _build_model),
+    ("learning", ("learning",), ("basis",), _build_learning),
+)
+
+
 def generate_handlers(settings: Dict) -> Dict:
-    """Build pipeline objects from a configuration dictionary."""
+    """Build pipeline objects from a configuration dictionary.  Each
+    handler is attempted only when its settings sections and upstream
+    handlers exist; malformed sections are skipped, not fatal."""
     handlers: Dict = {}
-    if "data" in settings:
+    for name, needs_settings, needs_handlers, build in _HANDLER_RECIPES:
+        if not all(k in settings for k in needs_settings):
+            continue
+        if not all(h in handlers for h in needs_handlers):
+            continue
         try:
-            handlers["data"] = io.DataCoordinator.from_config(
-                settings["data"]["keys"])
+            built = build(settings, handlers)
         except (KeyError, ValueError):
-            pass
-    if "elements" in settings and "degree" in settings \
-            and settings["elements"]:
-        try:
-            handlers["chemical_system"] = composition.ChemicalSystem(
-                element_list=settings["elements"],
-                degree=settings["degree"])
-        except (KeyError, ValueError):
-            pass
-    if "basis" in settings and "chemical_system" in handlers:
-        block = dict(settings["basis"])
-        block.update(handlers["chemical_system"].as_dict())
-        try:
-            handlers["basis"] = basis.BSplineBasis.from_dict(block)
-        except (KeyError, ValueError):
-            pass
-    if "features" in settings and "basis" in handlers:
-        try:
-            handlers["features"] = process.BasisFeaturizer(
-                handlers["basis"],
-                fit_forces=settings["features"].get("fit_forces", True),
-                prefix=settings["features"].get("column_prefix", "x"))
-        except (KeyError, ValueError):
-            pass
-    if "model" in settings and "basis" in handlers:
-        model_path = settings["model"].get("model_path", "")
-        if os.path.isfile(model_path):
-            try:
-                model = least_squares.WeightedLinearModel(
-                    handlers["basis"])
-                model.load(filename=model_path)
-                handlers["model"] = model
-            except (KeyError, ValueError):
-                pass
-    if "learning" in settings and "basis" in handlers:
-        try:
-            reg_params = settings["learning"]["regularizer"]
-            reg_params = {k.replace("curvature", "c").replace("ridge",
-                                                              "r"): v
-                          for k, v in reg_params.items()}
-            handlers["learning"] = least_squares.WeightedLinearModel(
-                handlers["basis"], **reg_params)
-        except (KeyError, ValueError):
-            pass
+            continue
+        if built is not None:
+            handlers[name] = built
     return handlers
