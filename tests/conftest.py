@@ -24,6 +24,39 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# --- smoke tier -----------------------------------------------------
+# `pytest -m smoke` is the fast CI gate (< 5 min): one golden per
+# layer (composition / knots+basis / featurization goldens / fit /
+# calculator / parsers) plus device-path exactness on the fused pair
+# kernels.  The full suite (~1 h single process) stays the release
+# gate.
+SMOKE_MODULES = {
+    "test_composition",
+    "test_bsplines",
+    "test_geometry_distances",
+    "test_least_squares",
+    "test_io",
+    "test_representation",
+    "test_calculator",
+}
+SMOKE_CLASSES = {
+    ("test_fused_kernels", "TestPairKernels"),
+    ("test_fused_kernels", "TestCardinalBasis"),
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "smoke: fast tier (one golden per layer, < 5 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = os.path.splitext(os.path.basename(str(item.fspath)))[0]
+        cls = item.cls.__name__ if item.cls is not None else None
+        if mod in SMOKE_MODULES or (mod, cls) in SMOKE_CLASSES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def data_dir():

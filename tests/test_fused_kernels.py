@@ -155,6 +155,32 @@ class TestTrioKernel:
         assert np.allclose(np.asarray(f2 + f3), np.asarray(f_ref),
                            atol=1e-9)
 
+    @pytest.mark.parametrize("triangle", [False, True])
+    def test_center_weight_virial_partition(self, w_model, w_setup,
+                                            triangle):
+        """The halo seam: the virial is a sum of per-center terms, so
+        an ownership partition w + (1-w) must reproduce the unweighted
+        virial exactly (this is what makes the sharded-NPT psum of
+        owner-weighted virials exact)."""
+        geom, params, pos, cell, nbr2, nbr3, e_ref, f_ref = w_setup
+        bundle = pt.build_trio_pallas(w_model, dtype=jnp.float64)
+        kw = dict(spec_l=bundle.spec_l, spec_n=bundle.spec_n,
+                  l_basis=bundle.l_basis, n_basis=bundle.n_basis,
+                  block_atoms=64, with_virial=True, triangle=triangle)
+        e_all, f_all, v_all = pt.trio_forces_unrolled(
+            bundle.grid, pos, cell, nbr3.idx, nbr3.shift, nbr3.mask,
+            nbr3.rev, **kw)
+        rng = np.random.RandomState(7)
+        w = jnp.asarray(rng.randint(0, 2, pos.shape[0]),
+                        dtype=jnp.float64)
+        parts = [pt.trio_forces_unrolled(
+            bundle.grid, pos, cell, nbr3.idx, nbr3.shift, nbr3.mask,
+            nbr3.rev, center_weight=wi, **kw) for wi in (w, 1.0 - w)]
+        v_sum = np.asarray(parts[0][2]) + np.asarray(parts[1][2])
+        e_sum = float(jnp.sum(parts[0][0]) + jnp.sum(parts[1][0]))
+        assert np.allclose(v_sum, np.asarray(v_all), atol=1e-10)
+        assert np.isclose(e_sum, float(jnp.sum(e_all)), atol=1e-10)
+
     def test_pallas_t_interpret_matches(self, w_model, w_setup):
         """Atom-minor Mosaic kernel (validated on-device on TPU at
         dF<1e-3 f32; here the interpret-mode twin at f64)."""

@@ -86,6 +86,31 @@ def test_halo_forces_and_energy_match_single_device(setup, mesh4):
     assert np.max(np.abs(f - np.asarray(f_ref))) < 1e-9
 
 
+def test_halo_virial_matches_single_device(setup, mesh4):
+    """Sharded stress through the fused path: per-center virial terms
+    are owner-weighted in the kernels and psummed, so the halo chunk's
+    Voigt virial equals the single-device fused virial exactly (the
+    input sharded NPT needs; no oracle fallback)."""
+    from uf3_tpu.ops import pallas_trio as pt
+    _, geom, system, dec = setup
+    n = len(geom)
+    x_glob = jnp.asarray(halo.gather_positions(dec, dec.x_own, n))
+    nbr2, nbr3 = system.build_lists(x_glob, wrapped=True)
+    e_ref, f_ref, v_ref = system.energy_forces(x_glob, nbr2, nbr3,
+                                               with_virial=True)
+    v_ref6 = np.array([np.asarray(v_ref)[a, b] for a, b in
+                       pt.VOIGT_AB])
+
+    chunk, shard = halo.halo_md_step_factory(system, mesh4, n_steps=0,
+                                             with_virial=True)
+    _, _, _, energy, virial, stale = chunk(
+        shard(dec), shard(dec.x_own), shard(np.zeros(dec.x_own.shape)),
+        jnp.asarray(0.0, dtype=jnp.float64))
+    assert not bool(stale)
+    assert np.isclose(float(energy), float(e_ref), rtol=1e-10)
+    assert np.allclose(np.asarray(virial), v_ref6, atol=1e-9)
+
+
 def test_halo_trajectory_matches_single_device(setup, mesh4):
     _, geom, system, dec = setup
     n = len(geom)

@@ -303,17 +303,25 @@ def _dense_basis(r, valid, spec: LegSpec, lo: int = 0, hi: int = None,
 VOIGT_AB = ((0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1))
 
 
-def _trio_virial6(comps, wr, t3_flat, r_mn):
+def _trio_virial6(comps, wr, t3_flat, r_mn, w=None):
     """Analytic per-block 3-body virial in Voigt order
     (xx, yy, zz, yz, xz, xy).  Matches the factorized oracle
     (uf3_tpu/ops/potential.py trio_contributions): the g1+g2 leg terms
     collapse to sum_m (w_m / r) d (x) d by neighbor-exchange symmetry
     of the decompressed grids, and the third leg contributes
-    1/2 sum_mn (t3 / r_mn) d_mn (x) d_mn over ordered pair lanes."""
+    1/2 sum_mn (t3 / r_mn) d_mn (x) d_mn over ordered pair lanes.
+
+    ``w`` (BA,) scales each CENTER row's contribution before the
+    block reduce -- the domain-decomposition seam: the virial is a sum
+    of per-center terms, so owner-weighted shards psum to the exact
+    global virial."""
     k = comps[0].shape[1]
     diffs = tuple(jnp.tile(dc, (1, k)) - jnp.repeat(dc, k, axis=-1)
                   for dc in comps)
     g3f = t3_flat / r_mn
+    if w is not None:
+        wr = wr * w[:, None]
+        g3f = g3f * w[:, None]
     out = []
     for a, b in VOIGT_AB:
         v12 = jnp.sum(wr * comps[a] * comps[b])
@@ -329,7 +337,8 @@ def _trio_block_compute(comps, valid, grid,
                         with_virial: bool = False,
                         active_bc=None,
                         window=None,
-                        pair_pre=None):
+                        pair_pre=None,
+                        center_w=None):
     """
     Fused per-block computation shared by the Pallas kernel and the
     plain-XLA unrolled path: from per-component displacements (a tuple
@@ -415,7 +424,7 @@ def _trio_block_compute(comps, valid, grid,
     # MXU efficiency and costs more than the whole VPU pass
     v3 = tuple(jnp.sum(g3p * dc[:, None, :], axis=2) for dc in comps)
     if with_virial:
-        v6 = _trio_virial6(comps, wr, t3, r_mn)
+        v6 = _trio_virial6(comps, wr, t3, r_mn, w=center_w)
         return energy, f_center, w_m, s3, v3, v6
     return energy, f_center, w_m, s3, v3
 
@@ -488,7 +497,8 @@ def _trio_block_compute_tri(comps, valid, grid,
                             with_energy: bool = True,
                             with_virial: bool = False,
                             active_bc=None,
-                            window=None):
+                            window=None,
+                            center_w=None):
     """Triangle-symmetric twin of _trio_block_compute for UNARY
     (neighbor-exchange-symmetric) grids: pair lanes cover only the
     strict upper triangle m < n (half the K*K lanes), with the mirror
@@ -571,10 +581,14 @@ def _trio_block_compute_tri(comps, valid, grid,
                + _tri_reduce_n(g3p * dm[c], k, n_lanes, n_idx)
                for c in range(3))
     if with_virial:
+        # center_w weights per-center virial terms before the block
+        # reduce (domain-decomposition seam; see _trio_virial6)
+        wrv = wr if center_w is None else wr * center_w[:, None]
+        g3v = g3p if center_w is None else g3p * center_w[:, None]
         out = []
         for a, b in VOIGT_AB:
-            v12 = jnp.sum(wr * comps[a] * comps[b])
-            v3t = jnp.sum(g3p * diffs[a] * diffs[b])  # unordered
+            v12 = jnp.sum(wrv * comps[a] * comps[b])
+            v3t = jnp.sum(g3v * diffs[a] * diffs[b])  # unordered
             out.append(v12 + v3t)
         return energy, f_center, w_m, s3, v3, jnp.stack(out)
     return energy, f_center, w_m, s3, v3
@@ -1078,10 +1092,6 @@ def trio_forces_unrolled(grid,
     while partials emitted by owned centers onto halo slots still
     assemble (and are shipped back by the caller).
     """
-    if center_weight is not None and with_virial:
-        raise NotImplementedError(
-            "center_weight does not scale the per-block virial "
-            "accumulator; halo MD computes stress via the oracle")
     n_atoms, capacity = nbr_idx.shape
     # the strict-upper-triangle lane layout needs at least one m < n
     # pair; at capacity 1 fall back to the ordered-lane kernel
@@ -1112,21 +1122,30 @@ def trio_forces_unrolled(grid,
     c_blocks = tuple(blocks(dc) for dc in comps)
     m_blocks = blocks(cache.valid)
     p_blocks = blocks(cache.pair_pre)
+    # the virial is block-reduced inside the map, so center weights
+    # must ride into the blocks (energy/forces are weighted post hoc)
+    weight_virial = center_weight is not None and with_virial
+    if weight_virial:
+        w_blocks = blocks(
+            center_weight.astype(positions.dtype)[:, None])[..., 0]
+    else:
+        w_blocks = m_blocks  # unused placeholder, keeps arity static
 
     def block_fn(args):
-        cx, cy, cz, m_b, p_b = args
+        cx, cy, cz, m_b, p_b, w_b = args
+        c_w = w_b if weight_virial else None
         if triangle:
             out = _trio_block_compute_tri(
                 (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis,
                 n_basis, with_energy=with_energy,
                 with_virial=with_virial, active_bc=active_bc,
-                window=window)
+                window=window, center_w=c_w)
         else:
             out = _trio_block_compute(
                 (cx, cy, cz), m_b, grid, spec_l, spec_n, l_basis,
                 n_basis, with_energy=with_energy,
                 with_virial=with_virial, active_bc=active_bc,
-                window=window, pair_pre=p_b)
+                window=window, pair_pre=p_b, center_w=c_w)
         energy, f_center, s1, s3, v3 = out[:5]
         # pack inside the block so lax.map writes the gather-ready
         # layout directly, flattened to full-lane (BA, K*8) tiles (a
@@ -1135,7 +1154,8 @@ def trio_forces_unrolled(grid,
                   _pack_partials(s1, s3, v3))
         return packed + (out[5],) if with_virial else packed
 
-    outs = jax.lax.map(block_fn, c_blocks + (m_blocks, p_blocks))
+    outs = jax.lax.map(block_fn,
+                       c_blocks + (m_blocks, p_blocks, w_blocks))
     energy, f_center, packed = outs[:3]
     energy = energy.reshape(-1)[:n_atoms]
     f_center = f_center.reshape(-1, 3)[:n_atoms]

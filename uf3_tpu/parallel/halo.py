@@ -234,12 +234,16 @@ def scatter_velocities(dec: SlabDecomposition, velocities: np.ndarray
 
 
 def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
-                         n_steps: int = 1):
+                         n_steps: int = 1, with_virial: bool = False):
     """Halo-exchange twin of `mesh.sharded_md_step_factory` for the
     fused unary fast path: returns ``(chunk, shard)`` where
     ``chunk(dec_device, x_own, v, dt)`` advances ``n_steps`` of
     velocity-Verlet NVE and returns ``(x_own, v, f_own, energy,
-    stale)``; ``shard(tree)`` device_puts a SlabDecomposition (or any
+    stale)`` -- or, with ``with_virial=True``, ``(x_own, v, f_own,
+    energy, virial, stale)`` where ``virial`` is the exact global
+    Voigt virial (owner-weighted per-center terms psummed across
+    shards; the input to sharded NPT barostats).  ``shard(tree)``
+    device_puts a SlabDecomposition (or any
     tree of (S, ...) arrays) with the shard axis on the mesh.
 
     Per step: 2 `ppermute`s of (C_halo, 3) positions out + 2 of
@@ -274,18 +278,23 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
             + dec.shift_right[0]
         return halo_l, halo_r
 
-    def local_forces(x_local, dec, cell, with_energy=False):
+    def local_forces(x_local, dec, cell, with_energy=False,
+                     with_virial=False):
         w = dec.center_w[0]
-        e2, f2 = pt.pair_forces_unrolled(
+        out2 = pt.pair_forces_unrolled(
             pair_coeff, x_local, cell, dec.idx2[0], dec.shift2[0],
             dec.mask2[0], spec=spec_pair, n_basis=spec_pair.n_basis,
-            with_energy=with_energy, center_weight=w)
-        e3, f3 = pt.trio_forces_unrolled(
+            with_energy=with_energy, with_virial=with_virial,
+            center_weight=w)
+        out3 = pt.trio_forces_unrolled(
             tb.grid, x_local, cell, dec.idx3[0], dec.shift3[0],
             dec.mask3[0], dec.rev3[0], spec_l=tb.spec_l,
             spec_n=tb.spec_n, l_basis=tb.l_basis, n_basis=tb.n_basis,
-            with_energy=with_energy, active_bc=tb.active_bc,
-            window=tb.window, triangle=tb.symmetric, center_weight=w)
+            with_energy=with_energy, with_virial=with_virial,
+            active_bc=tb.active_bc, window=tb.window,
+            triangle=tb.symmetric, center_weight=w)
+        e2, f2 = out2[0], out2[1]
+        e3, f3 = out3[0], out3[1]
         f = (f2 + f3).astype(dtype)
         c_own = dec.x_own.shape[1]
         c_halo = dec.send_left.shape[1]
@@ -304,6 +313,12 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
             jnp.where(dec.send_left_mask[0][:, None], back_r, 0.0))
         energy = jax.lax.psum(e2 + jnp.sum(e3), axis_name) \
             if with_energy else jnp.zeros((), dtype)
+        if with_virial:
+            # per-center virial terms are owner-weighted inside the
+            # kernels (center_weight), so the psum is the exact global
+            # Voigt virial -- no double counting across shards
+            virial = jax.lax.psum(out2[2] + out3[2], axis_name)
+            return f_own, energy, virial
         return f_own, energy
 
     cell = jnp.asarray(np.asarray(system.cell), dtype=dtype)
@@ -313,10 +328,13 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
 
     skin = float(system.skin)
 
+    out_specs = (P(axis_name), P(axis_name), P(axis_name), P(), P())
+    if with_virial:
+        out_specs = out_specs[:4] + (P(), P())
+
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(dec_specs, P(axis_name), P(axis_name), P()),
-             out_specs=(P(axis_name), P(axis_name), P(axis_name),
-                        P(), P()))
+             out_specs=out_specs)
     def chunk(dec, x_own, v, dt):
         x_own, v = x_own[0], v[0]
         m = dec.masses[0]
@@ -338,8 +356,9 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
                                         length=n_steps)
         halo_l, halo_r = refresh_halo(x_own, dec)
         x_local = jnp.concatenate([x_own, halo_l, halo_r])
-        _, energy = local_forces(x_local, dec, cell,
-                                 with_energy=True)
+        final = local_forces(x_local, dec, cell, with_energy=True,
+                             with_virial=with_virial)
+        energy = final[1]
         e1 = jnp.sum(system.params.offsets_1b[system.species])
         # skin check against the decomposition-time positions: past
         # half the skin the fixed lists / send windows can miss pairs
@@ -347,8 +366,11 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
         disp2 = jnp.where(dec.own_mask[0], disp2, 0.0)
         stale = jax.lax.pmax(jnp.max(disp2), axis_name) \
             > (0.5 * skin) ** 2
-        return (x_own[None], v[None], f[None],
-                energy + e1.astype(dtype), stale)
+        out = (x_own[None], v[None], f[None],
+               energy + e1.astype(dtype))
+        if with_virial:
+            out = out + (final[2],)
+        return out + (stale,)
 
     def shard(tree):
         sharding = NamedSharding(mesh, P(axis_name))
