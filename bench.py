@@ -66,16 +66,23 @@ def main():
                        thermostat="langevin", temperature=300.0)
     jax.block_until_ready(state.positions)
     assert not system.overflowed(state), "neighbor capacity overflow"
+    # one jit launch scans 10 rebuild cycles (180 steps): the host
+    # round-trip (~25 ms tunneled) amortizes over the launch instead
+    # of every 18-step chunk.  Warm the launch executable first.
+    state = system.run(state, n_steps=180, dt_fs=2.0,
+                       thermostat="langevin", temperature=300.0,
+                       launch_chunks=10)
+    jax.block_until_ready(state.positions)
     # timed section
-    n_chunks = 10
-    steps_per_chunk = 18
+    n_launches = 2
     t0 = time.time()
-    for _ in range(n_chunks):
-        state = system.run(state, n_steps=steps_per_chunk, dt_fs=2.0,
-                           thermostat="langevin", temperature=300.0)
+    for _ in range(n_launches):
+        state = system.run(state, n_steps=180, dt_fs=2.0,
+                           thermostat="langevin", temperature=300.0,
+                           launch_chunks=10)
     jax.block_until_ready(state.positions)
     elapsed = time.time() - t0
-    total_steps = n_chunks * steps_per_chunk
+    total_steps = n_launches * 180
     atom_steps = n_atoms * total_steps / elapsed
     result = {
         "metric": "atom-steps/s (2+3-body W MD, "

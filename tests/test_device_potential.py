@@ -405,6 +405,44 @@ class TestNPT:
         e1 = float(state.energy) + system.kinetic_energy(state)
         assert abs(e1 - e0) / len(geom) < 2e-4  # eV/atom drift
 
+    def test_launch_chunks_exact(self):
+        """Scanning whole rebuild cycles inside one jit launch
+        (launch_chunks > 1) must reproduce the per-cycle-launch
+        trajectory exactly: same rebuild cadence, same RNG stream,
+        same carried split forces."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        kw = dict(dtype=jnp.float64, rebuild_every=12, n_respa=3)
+        run_kw = dict(n_steps=72, dt_fs=1.0, thermostat="langevin",
+                      temperature=500.0)
+        sys_a = MDSystem(model, geom, **kw)
+        st_a = sys_a.run(sys_a.init_state(temperature=500.0, seed=7),
+                         **run_kw)
+        sys_b = MDSystem(model, geom, **kw)
+        st_b = sys_b.run(sys_b.init_state(temperature=500.0, seed=7),
+                         launch_chunks=3, **run_kw)
+        assert np.allclose(np.asarray(st_a.positions),
+                           np.asarray(st_b.positions), atol=1e-12)
+        assert np.allclose(np.asarray(st_a.velocities),
+                           np.asarray(st_b.velocities), atol=1e-12)
+
+    def test_launch_chunks_overflow_sticky(self):
+        """An overflow in an EARLY in-launch cycle must survive later
+        in-launch rebuilds and surface to the host poll."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        system = MDSystem(model, geom, dtype=jnp.float64,
+                          rebuild_every=2, n_respa=2, skin=0.4)
+        state = system.init_state(temperature=10.0, seed=3)
+        center = jnp.mean(state.positions, axis=0)
+        state = state._replace(
+            positions=center + 0.78 * (state.positions - center))
+        out = system.run(state, n_steps=8, dt_fs=0.1,
+                         launch_chunks=4)
+        assert system.overflowed(out)
+
     def test_fused_virial_matches_factorized(self):
         """The analytic virial emitted by the fused pair+trio kernels
         must equal the factorized oracle's (f64)."""

@@ -602,19 +602,82 @@ class MDSystem:
     @functools.partial(jax.jit, static_argnums=(0,),
                        static_argnames=("n_outer", "dt_fs",
                                         "thermostat",
-                                        "compute_energy"))
+                                        "compute_energy", "n_chunks"))
     def _run_chunk_respa(self, state: MDState, n_outer: int,
                          dt_fs: float,
                          thermostat: Optional[str] = None,
                          temperature: float = 300.0,
                          tau_fs: float = 100.0,
                          friction_ps: float = 2.0,
-                         compute_energy: bool = True) -> MDState:
-        """One jit chunk of r-RESPA MD: neighbor rebuild + n_outer
-        outer cycles of [tail half-kick, n_respa inner velocity-Verlet
-        steps on the short-range force, tail half-kick].  Inner steps
-        gather only the (N, K3) trio rows; the (N, K2) pair gather
-        runs once per outer cycle."""
+                         compute_energy: bool = True,
+                         n_chunks: int = 1) -> MDState:
+        """One jit launch of r-RESPA MD: ``n_chunks`` rebuild cycles,
+        each = neighbor rebuild + n_outer outer cycles of [tail
+        half-kick, n_respa inner velocity-Verlet steps on the
+        short-range force, tail half-kick].  Inner steps gather only
+        the (N, K3) trio rows; the (N, K2) pair gather runs once per
+        outer cycle.
+
+        ``n_chunks > 1`` scans the whole rebuild cycle inside the
+        launch: dispatching one chunk per launch costs a host
+        round-trip per rebuild_every steps (~25 ms through a tunneled
+        device, ~1.4 ms/step at the bench config), while the in-launch
+        scan carries the (fixed-shape) neighbor lists once per cycle
+        (~15 MB buffer copy, ~20 us) instead.  Overflow flags from
+        every in-launch rebuild are OR-accumulated onto the returned
+        lists so asynchronous polling still sees them."""
+        if state.f_short is None or state.f_tail is None:
+            # split forces are position-functions only and the entry
+            # lists are complete within their cutoffs (skin
+            # invariant), so computing them from the entry lists is
+            # exact; chunk boundaries afterwards carry them
+            f_short, f_tail = self._respa_split_forces(state)
+            state = state._replace(f_short=f_short, f_tail=f_tail)
+
+        # the flag resets per LAUNCH (run() ORs it into any_stale);
+        # within the launch the cycles keep it sticky
+        state = state._replace(stale=jnp.zeros((), dtype=bool))
+
+        def cycle(s, ce):
+            return self._respa_cycle(
+                s, n_outer, dt_fs, thermostat, temperature, tau_fs,
+                friction_ps, ce)
+
+        if n_chunks > 1:
+            def body(c, _):
+                return cycle(c, False), None
+            state, _ = jax.lax.scan(body, state, None,
+                                    length=n_chunks - 1)
+        return cycle(state, compute_energy)
+
+    def _respa_split_forces(self, state: MDState):
+        """(f_short, f_tail) at ``state``'s positions from its lists."""
+        from uf3_tpu.ops import pallas_trio as pt
+        spec_pair, pair_coeff = self.pair_fast
+        tb = self.trio_bundle
+        r_lo, r_hi = self.respa_switch
+        _, _, f_short = pt.trio_short_forces(
+            pair_coeff, tb.grid, state.positions, state.cell,
+            state.nbr3, spec_pair=spec_pair,
+            n_basis_pair=spec_pair.n_basis, spec_l=tb.spec_l,
+            spec_n=tb.spec_n, l_basis=tb.l_basis, n_basis=tb.n_basis,
+            active_bc=tb.active_bc, window=tb.window, r_lo=r_lo,
+            r_hi=r_hi, triangle=tb.symmetric and self.trio_triangle)
+        _, f_tail = pt.pair_tail_forces(
+            pair_coeff, state.positions, state.cell, state.nbr2,
+            spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
+            r_lo=r_lo, r_hi=r_hi)
+        return f_short, f_tail
+
+    def _respa_cycle(self, state: MDState, n_outer: int,
+                     dt_fs: float,
+                     thermostat: Optional[str],
+                     temperature: float,
+                     tau_fs: float,
+                     friction_ps: float,
+                     compute_energy: bool) -> MDState:
+        """One traced rebuild cycle of r-RESPA MD (see
+        _run_chunk_respa); requires state.f_short / state.f_tail."""
         from uf3_tpu.ops import pallas_trio as pt
         dt = jnp.asarray(dt_fs * units.fs, dtype=self.dtype)
         friction = friction_ps / units.ps
@@ -622,6 +685,12 @@ class MDSystem:
         n_r = self.n_respa
         dt_out = dt * n_r
         x, nbr2, nbr3 = self._rebuild_switch(state)
+        # accumulate overflow across in-launch rebuilds (a fresh build
+        # would otherwise overwrite an earlier cycle's flag)
+        nbr2 = nbr2._replace(
+            overflow=nbr2.overflow | state.nbr2.overflow)
+        nbr3 = nbr3._replace(
+            overflow=nbr3.overflow | state.nbr3.overflow)
         cell = state.cell
         cache2 = pt.build_pair_cache(nbr2.idx, nbr2.shift, nbr2.mask,
                                      cell, self.dtype)
@@ -650,14 +719,7 @@ class MDSystem:
                 with_energy=with_energy, r_lo=r_lo, r_hi=r_hi,
                 cache2=cache2)
 
-        # split forces are position-functions only: reuse the carried
-        # values when the caller's state has them (chunk boundaries),
-        # compute on the first chunk after init_state
-        if state.f_short is not None and state.f_tail is not None:
-            f_short0, f_tail0 = state.f_short, state.f_tail
-        else:
-            _, _, f_short0 = short_forces(x)
-            _, f_tail0 = tail_forces(x)
+        f_short0, f_tail0 = state.f_short, state.f_tail
 
         def thermostat_fn(v, key, xi):
             if thermostat == "langevin":
@@ -699,8 +761,11 @@ class MDSystem:
             v = v + (0.5 * dt_out) * f_tail / m
             return (x, v, f_short, f_tail, key, xi, stale), None
 
+        # staleness is sticky through a multi-cycle launch: a cycle
+        # that outran its skin margin must surface even after a later
+        # in-launch rebuild resolved it
         carry = (x, state.velocities, f_short0, f_tail0, state.key,
-                 state.xi, jnp.zeros((), dtype=bool))
+                 state.xi, state.stale)
         carry, _ = jax.lax.scan(outer_body, carry, None,
                                 length=n_outer)
         x, v, f_short, f_tail, key, xi, stale = carry
@@ -749,14 +814,23 @@ class MDSystem:
             on_overflow: str = "raise",
             check_every: int = 50,
             max_regrows: int = 4,
-            callback=None) -> MDState:
+            callback=None,
+            launch_chunks: int = 1) -> MDState:
         """
         Run n_steps of MD, rebuilding neighbor lists every
-        rebuild_every steps; a host loop over one compiled chunk so
-        every chunk reuses the same executable.
+        rebuild_every steps; a host loop over one compiled launch of
+        ``launch_chunks`` rebuild cycles so every launch reuses the
+        same executable.
+
+        ``launch_chunks > 1`` (r-RESPA path) scans whole rebuild
+        cycles inside one jit launch: each host dispatch costs a
+        device round-trip (~25 ms on a tunneled TPU), so launching
+        per rebuild cycle caps throughput at ~rebuild_every steps per
+        round-trip.  Callbacks, overflow polling, and regrow
+        snapshots then operate at launch granularity.
 
         ``callback(state, steps_done)``, when given, fires after every
-        committed chunk (a host sync each) -- the hook for trajectory
+        committed launch (a host sync each) -- the hook for trajectory
         writers (`forcefield.batch.TrajectoryWriter`), live monitors,
         or custom checkpointing.
 
@@ -791,13 +865,17 @@ class MDSystem:
             if self.n_respa > 1 and remaining >= self.n_respa:
                 n_outer = max(1, min(inner, remaining)
                               // self.n_respa)
-                steps = n_outer * self.n_respa
+                chunk_steps = n_outer * self.n_respa
+                n_chunks = max(1, min(launch_chunks,
+                                      remaining // chunk_steps))
+                steps = n_chunks * chunk_steps
                 state = self._run_chunk_respa(
                     state, n_outer=n_outer, dt_fs=dt_fs,
                     thermostat=thermostat, temperature=temperature,
                     tau_fs=tau_fs, friction_ps=friction_ps,
                     compute_energy=(remaining - steps
-                                    < self.n_respa))
+                                    < self.n_respa),
+                    n_chunks=n_chunks)
             else:
                 steps = min(inner, remaining)
                 state = self._run_chunk(state, n_steps=steps,

@@ -256,6 +256,15 @@ def _dense_basis(r, valid, spec: LegSpec, lo: int = 0, hi: int = None,
     as float arithmetic (Mosaic cannot insert minor dims on 1-bit
     vectors).
 
+    The scatter of the 4 active taps into the dense window is ONE
+    extended interval one-hot (built once, shared by values and
+    derivatives) consumed through 4 statically-shifted FMA chains --
+    measurably cheaper than per-(basis, tap) compare+select chains,
+    which dominated the trio kernel's VPU time (the one-hot costs
+    W+3 compares/lane; each output set then pays 4W FMAs/lane).  The
+    range gate folds into the 4 tap values once per lane instead of
+    once per (basis, lane).
+
     transposed=False: (..., hi-lo) with the basis axis minor.
     transposed=True:  (..., hi-lo, P) for r of shape (..., P) -- the
     layout the pair-lane contraction consumes, built directly instead
@@ -271,32 +280,38 @@ def _dense_basis(r, valid, spec: LegSpec, lo: int = 0, hi: int = None,
     in_range_f = (valid.astype(r.dtype)
                   * (r >= spec.t_min).astype(r.dtype)
                   * (r <= spec.t_max).astype(r.dtype))
+    values = [v * in_range_f for v in values]
+    derivs = [d * in_range_f for d in derivs]
     width = hi - lo
     mats = []
     if transposed:
-        # rel[..., w, p] = (lo + w) - idx[..., p]
-        shape = r.shape[:-1] + (width, r.shape[-1])
-        axis = len(shape) - 2
-        rel = (jax.lax.broadcasted_iota(jnp.int32, shape, axis) + lo
-               - idx[..., None, :])
-        gate = in_range_f[..., None, :]
+        # ext[..., w2, p] = (idx[..., p] == lo + w2 - 3) over the
+        # extended window w2 in [0, width + 3); the basis value at
+        # window position w is then sum_tap ext[w + 3 - tap] * tap_w
+        shape_ext = r.shape[:-1] + (width + 3, r.shape[-1])
+        axis = len(shape_ext) - 2
+        ext = (jax.lax.broadcasted_iota(jnp.int32, shape_ext, axis)
+               + (lo - 3) == idx[..., None, :]).astype(r.dtype)
         for cols in (values, derivs):
-            out = jnp.zeros(shape, dtype=r.dtype)
+            out = jnp.zeros(r.shape[:-1] + (width, r.shape[-1]),
+                            dtype=r.dtype)
             for tap in range(4):
-                out = out + jnp.where(rel == tap,
-                                      cols[tap][..., None, :], 0.0)
-            mats.append(out * gate)
+                sl = jax.lax.slice_in_dim(ext, 3 - tap,
+                                          3 - tap + width, axis=axis)
+                out = out + sl * cols[tap][..., None, :]
+            mats.append(out)
     else:
-        shape = r.shape + (width,)
-        rel = (jax.lax.broadcasted_iota(jnp.int32, shape, len(r.shape))
-               + lo - idx[..., None])
-        gate = in_range_f[..., None]
+        shape_ext = r.shape + (width + 3,)
+        axis = len(r.shape)
+        ext = (jax.lax.broadcasted_iota(jnp.int32, shape_ext, axis)
+               + (lo - 3) == idx[..., None]).astype(r.dtype)
         for cols in (values, derivs):
-            out = jnp.zeros(shape, dtype=r.dtype)
+            out = jnp.zeros(r.shape + (width,), dtype=r.dtype)
             for tap in range(4):
-                out = out + jnp.where(rel == tap,
-                                      cols[tap][..., None], 0.0)
-            mats.append(out * gate)
+                sl = jax.lax.slice_in_dim(ext, 3 - tap,
+                                          3 - tap + width, axis=axis)
+                out = out + sl * cols[tap][..., None]
+            mats.append(out)
     return mats[0], mats[1]
 
 
