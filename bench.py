@@ -71,19 +71,22 @@ def main():
     # of every 18-step chunk.  Warm the launch executable first.
     state = system.run(state, n_steps=180, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0,
-                       launch_chunks=10)
+                       launch_chunks=10, sync=False)
     jax.block_until_ready(state.positions)
-    # timed section
-    n_launches = 2
-    t0 = time.time()
-    for _ in range(n_launches):
-        state = system.run(state, n_steps=180, dt_fs=2.0,
+    # timed section: median of 3 windows of 540 steps each -- long
+    # enough that launch-to-launch variance on a tunneled TPU cannot
+    # move the headline by the ~12% seen between round-3 runs
+    window_steps = 540
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        state = system.run(state, n_steps=window_steps, dt_fs=2.0,
                            thermostat="langevin", temperature=300.0,
-                           launch_chunks=10)
-    jax.block_until_ready(state.positions)
-    elapsed = time.time() - t0
-    total_steps = n_launches * 180
-    atom_steps = n_atoms * total_steps / elapsed
+                           launch_chunks=10, sync=False)
+        jax.block_until_ready(state.positions)
+        times.append(time.time() - t0)
+    elapsed = sorted(times)[1]
+    atom_steps = n_atoms * window_steps / elapsed
     result = {
         "metric": "atom-steps/s (2+3-body W MD, "
                   f"{n_atoms} atoms, {jax.devices()[0].platform})",

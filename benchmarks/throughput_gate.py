@@ -47,10 +47,11 @@ from uf3_tpu.forcefield.md import MDSystem  # noqa: E402
 from uf3_tpu.ops import pallas_trio as pt  # noqa: E402
 from uf3_tpu.regression import least_squares as ls  # noqa: E402
 
-# committed floor for the headline metric on a single v5e chip.  The
-# gate trips on any >~25% regression from the round-3 measured
-# 4.1e6; a deliberate 2x slowdown lands at ~2e6 and fails hard.
-THRESHOLD_ATOM_STEPS = 3.1e6
+# committed floor for the headline metric on a single v5e chip --
+# ratcheted to just under the current measured number every time the
+# bench improves, so a ~15% regression fails the gate (VERDICT r3
+# item 3; the driver's round-3 measurement was 3.77e6).
+THRESHOLD_ATOM_STEPS = 3.6e6
 
 
 def timeit_ms(fn, *args, iters=30, warmup=2):
@@ -85,15 +86,22 @@ def main():
     jax.block_until_ready(state.positions)
 
     # end-to-end: identical conditions to bench.py's timed section
-    best = 0.0
-    for _ in range(2):
+    # (median of 3 windows of 540 steps, launch_chunks=10, async
+    # overflow polling with the synchronous check after timing)
+    state = system.run(state, n_steps=180, dt_fs=2.0,
+                       thermostat="langevin", temperature=300.0,
+                       launch_chunks=10, sync=False)
+    jax.block_until_ready(state.positions)
+    window_steps = 540
+    times = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(10):
-            state = system.run(state, n_steps=18, dt_fs=2.0,
-                               thermostat="langevin",
-                               temperature=300.0)
+        state = system.run(state, n_steps=window_steps, dt_fs=2.0,
+                           thermostat="langevin", temperature=300.0,
+                           launch_chunks=10, sync=False)
         jax.block_until_ready(state.positions)
-        best = max(best, n * 180 / (time.perf_counter() - t0))
+        times.append(time.perf_counter() - t0)
+    best = n * window_steps / sorted(times)[1]
     assert not system.overflowed(state), "capacity overflow in gate"
 
     # per-phase breakdown at the equilibrated state

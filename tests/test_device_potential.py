@@ -427,6 +427,52 @@ class TestNPT:
         assert np.allclose(np.asarray(st_a.velocities),
                            np.asarray(st_b.velocities), atol=1e-12)
 
+    def test_launch_chunks_exact_nonrespa(self):
+        """The non-RESPA chunk path (n_respa=1) must also reproduce
+        the per-cycle-launch trajectory exactly under launch_chunks."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        kw = dict(dtype=jnp.float64, rebuild_every=12)
+        run_kw = dict(n_steps=48, dt_fs=1.0, thermostat="langevin",
+                      temperature=500.0)
+        sys_a = MDSystem(model, geom, **kw)
+        st_a = sys_a.run(sys_a.init_state(temperature=500.0, seed=7),
+                         **run_kw)
+        sys_b = MDSystem(model, geom, **kw)
+        st_b = sys_b.run(sys_b.init_state(temperature=500.0, seed=7),
+                         launch_chunks=4, **run_kw)
+        assert np.allclose(np.asarray(st_a.positions),
+                           np.asarray(st_b.positions), atol=1e-12)
+        assert np.allclose(np.asarray(st_a.velocities),
+                           np.asarray(st_b.velocities), atol=1e-12)
+        assert np.isclose(float(st_a.energy), float(st_b.energy),
+                          atol=1e-10)
+
+    def test_npt_launch_chunks_exact(self):
+        """NPT stochastic-cell-rescaling with launch_chunks > 1 must
+        reproduce the per-cycle-launch trajectory and cell exactly
+        (VERDICT r3 item 4: the melting flagship must not be
+        dispatch-bound)."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        kw = dict(dtype=jnp.float64, rebuild_every=12)
+        npt_kw = dict(n_steps=48, dt_fs=1.0, temperature=500.0,
+                      pressure=0.0)
+        sys_a = MDSystem(model, geom, **kw)
+        st_a, _ = sys_a.npt_run(
+            sys_a.init_state(temperature=500.0, seed=7), **npt_kw)
+        sys_b = MDSystem(model, geom, **kw)
+        st_b, cells_b = sys_b.npt_run(
+            sys_b.init_state(temperature=500.0, seed=7),
+            launch_chunks=4, **npt_kw)
+        assert np.allclose(np.asarray(st_a.positions),
+                           np.asarray(st_b.positions), atol=1e-12)
+        assert np.allclose(np.asarray(st_a.cell),
+                           np.asarray(st_b.cell), atol=1e-12)
+        assert len(cells_b) == 1
+
     def test_launch_chunks_overflow_sticky(self):
         """An overflow in an EARLY in-launch cycle must survive later
         in-launch rebuilds and surface to the host poll."""
@@ -440,7 +486,8 @@ class TestNPT:
         state = state._replace(
             positions=center + 0.78 * (state.positions - center))
         out = system.run(state, n_steps=8, dt_fs=0.1,
-                         launch_chunks=4)
+                         launch_chunks=4, sync=False,
+                         on_overflow="warn", check_every=10**6)
         assert system.overflowed(out)
 
     def test_fused_virial_matches_factorized(self):
@@ -480,30 +527,49 @@ class TestNPT:
         return system, state._replace(positions=squeezed)
 
     def test_run_raises_on_overflow(self):
-        """Silent pair truncation cannot survive the run loop: the
-        per-chunk overflow flags are polled asynchronously (so the
-        check never stalls dispatch) and raise at the next run() call
-        once the flag reaches the host; overflowed() is the
-        synchronous check."""
+        """Silent pair truncation cannot survive a (default, sync)
+        run() call: every flag queued by the run is drained before it
+        returns, so the RuntimeError fires from the call that
+        overflowed."""
         system, state = self._overflowing_state()
-        out = system.run(state, n_steps=2, dt_fs=0.1)
+        with pytest.raises(RuntimeError, match="capacity exceeded"):
+            system.run(state, n_steps=2, dt_fs=0.1)
+
+    def test_run_async_raises_at_next_call(self):
+        """sync=False keeps the pipeline asynchronous: the flag is
+        polled opportunistically and raises at the latest from the
+        next run() call."""
+        system, state = self._overflowing_state()
+        out = system.run(state, n_steps=2, dt_fs=0.1, sync=False)
         jax.block_until_ready(out.positions)
         with pytest.raises(RuntimeError, match="capacity exceeded"):
             system.run(out, n_steps=2, dt_fs=0.1)
 
     def test_overflowed_is_synchronous(self):
         system, state = self._overflowing_state()
-        out = system.run(state, n_steps=2, dt_fs=0.1)
+        out = system.run(state, n_steps=2, dt_fs=0.1, sync=False,
+                         on_overflow="warn", check_every=10**6)
         assert system.overflowed(out)
 
     def test_run_warn_on_overflow(self):
         system, state = self._overflowing_state()
-        out = system.run(state, n_steps=2, dt_fs=0.1,
-                         on_overflow="warn")
-        jax.block_until_ready(out.positions)
         with pytest.warns(UserWarning, match="capacity exceeded"):
-            system.run(out, n_steps=2, dt_fs=0.1,
+            system.run(state, n_steps=2, dt_fs=0.1,
                        on_overflow="warn")
+
+    def test_regrow_consumes_pending_async_flags(self):
+        """Flags left queued by a previous async run must route into
+        the regrow path (grow + rebuild), not a RuntimeError advising
+        the mode the caller is already in."""
+        system, state = self._overflowing_state()
+        out = system.run(state, n_steps=2, dt_fs=0.1, sync=False,
+                         on_overflow="warn", check_every=10**6)
+        jax.block_until_ready(out.positions)
+        cap0 = system.capacity_2b
+        out2 = system.run(out, n_steps=2, dt_fs=0.1,
+                          on_overflow="regrow")
+        assert system.capacity_2b > cap0
+        assert not system.overflowed(out2)
 
     def test_run_regrows_on_overflow(self):
         """on_overflow='regrow' reverts the busted chunk, grows the

@@ -514,7 +514,7 @@ class MDSystem:
 
     @functools.partial(jax.jit, static_argnums=(0,),
                        static_argnames=("n_steps", "dt_fs", "thermostat",
-                                        "barostat"))
+                                        "barostat", "n_chunks"))
     def _run_chunk(self, state: MDState, n_steps: int, dt_fs: float,
                    thermostat: Optional[str] = None,
                    temperature: float = 300.0,
@@ -523,8 +523,16 @@ class MDSystem:
                    barostat: Optional[str] = None,
                    pressure: float = 0.0,
                    tau_p_fs: float = 1000.0,
-                   compressibility: float = 5e-3) -> MDState:
-        """One jit-compiled chunk: neighbor rebuild + n_steps of MD."""
+                   compressibility: float = 5e-3,
+                   n_chunks: int = 1) -> MDState:
+        """One jit launch: ``n_chunks`` rebuild cycles, each = neighbor
+        rebuild + n_steps of MD.  ``n_chunks > 1`` scans whole cycles
+        inside the launch (same dispatch-amortization rationale as
+        _run_chunk_respa) -- the path NPT melting runs on, so pressure
+        coupling is not capped by one host round-trip per rebuild.
+        Overflow flags from in-launch rebuilds are OR-accumulated onto
+        the returned lists; staleness is sticky across cycles within
+        the launch."""
         dt = jnp.asarray(dt_fs * units.fs, dtype=self.dtype)
         tau = tau_fs * units.fs
         friction = friction_ps / units.ps
@@ -533,71 +541,99 @@ class MDSystem:
                        tau_p=tau_p, beta_t=compressibility) \
             if barostat == "scr" else {}
 
-        x, nbr2_n, nbr3_n = self._rebuild_switch(state)
-        state = state._replace(positions=x, nbr2=nbr2_n, nbr3=nbr3_n,
-                               stale=jnp.zeros((), dtype=bool))
-        # the neighbor lists and cell are invariant for the rest of the
-        # chunk: close over them instead of threading them through the
-        # scan carry (XLA copies carried buffers every iteration, which
-        # at 10k atoms costs more than the force evaluation itself)
-        nbr2, nbr3, cell = state.nbr2, state.nbr3, state.cell
-        energy0 = state.energy
-        # hoist per-chunk loop invariants (masks, shift products,
-        # transposed index columns) out of the scan: XLA does not do
-        # this itself when the lists are cond outputs, and recomputing
-        # them per step costs ~45% of the step (measured, 10k atoms)
-        cache2 = cache3 = None
-        if self.trio_bundle is not None and self.pair_fast is not None \
-                and nbr3 is not None:
-            from uf3_tpu.ops import pallas_trio as pt
-            cache2 = pt.build_pair_cache(nbr2.idx, nbr2.shift,
-                                         nbr2.mask, cell, self.dtype)
-            cache3 = pt.build_trio_cache(nbr3, cell, self.dtype)
-        elif (self.trio_multi is not None
-              and self.pair_multi is not None and nbr3 is not None):
-            from uf3_tpu.ops import pallas_trio as pt
-            cache2 = pt.build_pair_cache(
-                nbr2.idx, nbr2.shift, nbr2.mask, cell, self.dtype,
-                species=self.species, pair_type=self.pair_multi[2])
-            cache3 = pt.build_trio_cache(nbr3, cell, self.dtype,
-                                         species=self.species)
+        def one_cycle(state: MDState, compute_energy: bool) -> MDState:
+            x, nbr2, nbr3 = self._rebuild_switch(state)
+            # accumulate overflow across in-launch rebuilds (a fresh
+            # build would otherwise overwrite an earlier cycle's flag)
+            nbr2 = nbr2._replace(
+                overflow=nbr2.overflow | state.nbr2.overflow)
+            if nbr3 is not None:
+                nbr3 = nbr3._replace(
+                    overflow=nbr3.overflow | state.nbr3.overflow)
+            state = state._replace(positions=x, nbr2=nbr2, nbr3=nbr3)
+            # the neighbor lists and cell are invariant for the rest
+            # of the cycle: close over them instead of threading them
+            # through the inner scan carry (XLA copies carried buffers
+            # every iteration, which at 10k atoms costs more than the
+            # force evaluation itself)
+            cell = state.cell
+            energy0 = state.energy
+            # hoist per-cycle loop invariants (masks, shift products,
+            # transposed index columns) out of the scan: XLA does not
+            # do this itself when the lists are cond outputs, and
+            # recomputing them per step costs ~45% of the step
+            # (measured, 10k atoms)
+            cache2 = cache3 = None
+            if self.trio_bundle is not None \
+                    and self.pair_fast is not None and nbr3 is not None:
+                from uf3_tpu.ops import pallas_trio as pt
+                cache2 = pt.build_pair_cache(nbr2.idx, nbr2.shift,
+                                             nbr2.mask, cell,
+                                             self.dtype)
+                cache3 = pt.build_trio_cache(nbr3, cell, self.dtype)
+            elif (self.trio_multi is not None
+                  and self.pair_multi is not None and nbr3 is not None):
+                from uf3_tpu.ops import pallas_trio as pt
+                cache2 = pt.build_pair_cache(
+                    nbr2.idx, nbr2.shift, nbr2.mask, cell, self.dtype,
+                    species=self.species,
+                    pair_type=self.pair_multi[2])
+                cache3 = pt.build_trio_cache(nbr3, cell, self.dtype,
+                                             species=self.species)
 
-        def fast_step(carry, _):
-            x, v, f, key, xi, stale_c, scale_c = carry
-            s = MDState(positions=x, velocities=v, forces=f,
-                        energy=energy0, nbr2=nbr2, nbr3=nbr3, key=key,
-                        xi=xi, stale=stale_c, cell=cell)
-            out = self._verlet_step(
-                s, dt, thermostat=thermostat, temperature=temperature,
-                tau=tau, friction=friction, with_energy=False,
-                cache2=cache2, cache3=cache3, scale=scale_c,
-                **baro_kw)
-            s, scale_c = out if barostat == "scr" else (out, scale_c)
-            return (s.positions, s.velocities, s.forces, s.key, s.xi,
-                    s.stale, scale_c), None
-
-        # forces-only inner steps; the chunk's last step also computes
-        # the potential energy for state bookkeeping
-        scale = jnp.ones((), dtype=self.dtype)
-        if n_steps > 1:
-            carry = (state.positions, state.velocities, state.forces,
-                     state.key, state.xi, state.stale, scale)
-            carry, _ = jax.lax.scan(fast_step, carry, None,
-                                    length=n_steps - 1)
-            x, v, f, key, xi, stale_c, scale = carry
-            state = MDState(positions=x, velocities=v, forces=f,
+            def fast_step(carry, _):
+                x, v, f, key, xi, stale_c, scale_c = carry
+                s = MDState(positions=x, velocities=v, forces=f,
                             energy=energy0, nbr2=nbr2, nbr3=nbr3,
                             key=key, xi=xi, stale=stale_c, cell=cell)
-        out = self._verlet_step(
-            state, dt, thermostat=thermostat, temperature=temperature,
-            tau=tau, friction=friction, with_energy=True,
-            cache2=cache2, cache3=cache3, scale=scale, **baro_kw)
-        if barostat == "scr":
-            state, scale = out
-            state = state._replace(cell=state.cell * scale)
-        else:
-            state = out
-        return state
+                out = self._verlet_step(
+                    s, dt, thermostat=thermostat,
+                    temperature=temperature, tau=tau,
+                    friction=friction, with_energy=False,
+                    cache2=cache2, cache3=cache3, scale=scale_c,
+                    **baro_kw)
+                s, scale_c = out if barostat == "scr" \
+                    else (out, scale_c)
+                return (s.positions, s.velocities, s.forces, s.key,
+                        s.xi, s.stale, scale_c), None
+
+            # forces-only inner steps; the cycle's last step also
+            # computes the potential energy when requested
+            scale = jnp.ones((), dtype=self.dtype)
+            if n_steps > 1:
+                carry = (state.positions, state.velocities,
+                         state.forces, state.key, state.xi,
+                         state.stale, scale)
+                carry, _ = jax.lax.scan(fast_step, carry, None,
+                                        length=n_steps - 1)
+                x, v, f, key, xi, stale_c, scale = carry
+                state = MDState(positions=x, velocities=v, forces=f,
+                                energy=energy0, nbr2=nbr2, nbr3=nbr3,
+                                key=key, xi=xi, stale=stale_c,
+                                cell=cell)
+            out = self._verlet_step(
+                state, dt, thermostat=thermostat,
+                temperature=temperature, tau=tau, friction=friction,
+                with_energy=compute_energy, cache2=cache2,
+                cache3=cache3, scale=scale, **baro_kw)
+            if barostat == "scr":
+                state, scale = out
+                state = state._replace(cell=state.cell * scale)
+            else:
+                state = out
+            if not compute_energy:
+                state = state._replace(energy=energy0)
+            return state
+
+        # the flag resets per LAUNCH (run() ORs it into any_stale);
+        # within the launch the cycles keep it sticky
+        state = state._replace(stale=jnp.zeros((), dtype=bool))
+        if n_chunks > 1:
+            def body(c, _):
+                return one_cycle(c, False), None
+            state, _ = jax.lax.scan(body, state, None,
+                                    length=n_chunks - 1)
+        return one_cycle(state, True)
 
     @functools.partial(jax.jit, static_argnums=(0,),
                        static_argnames=("n_outer", "dt_fs",
@@ -815,7 +851,8 @@ class MDSystem:
             check_every: int = 50,
             max_regrows: int = 4,
             callback=None,
-            launch_chunks: int = 1) -> MDState:
+            launch_chunks: int = 1,
+            sync: bool = True) -> MDState:
         """
         Run n_steps of MD, rebuilding neighbor lists every
         rebuild_every steps; a host loop over one compiled launch of
@@ -835,21 +872,24 @@ class MDSystem:
         or custom checkpointing.
 
         Neighbor-capacity overflow (silent pair truncation) is
-        detected without stalling the dispatch pipeline: each chunk's
+        detected without stalling the dispatch pipeline: each launch's
         overflow flag is queued and polled on the host as soon as its
         transfer completes (``jax.Array.is_ready``, no sync), with a
         hard host sync only once the backlog reaches ``check_every``
-        chunks.  Detection is therefore asynchronous -- an overflow
-        raises within a few chunks, at the latest ``check_every``
-        chunks after it happened, possibly from a LATER run() call
-        (pending flags persist on the system).  For a synchronous
-        guarantee at the end of a run, call ``overflowed(state)``
-        (one host sync), as bench.py and the examples do.
+        launches.  With ``sync=True`` (default) every flag queued by
+        THIS call is drained before returning (one host sync at the
+        end of the run), so an overflow cannot survive the run()
+        call.  ``sync=False`` keeps the fully-asynchronous pipeline
+        (an overflow may surface from a LATER run() call or an
+        explicit ``overflowed(state)`` check) -- the mode for
+        back-to-back launch pipelining, as bench.py uses.
         ``on_overflow``:
 
-        - "raise": RuntimeError at the next poll (default);
-        - "warn": warnings.warn, keep going (nearest pairs are kept,
-          so truncation errors are bounded but real);
+        - "raise": RuntimeError once a queued flag reads True
+          (default);
+        - "warn": warnings.warn per detected overflow, keep going
+          (nearest pairs are kept, so truncation errors are bounded
+          but real);
         - "regrow": revert the offending chunk, grow row/bin
           capacities 1.5x (recompiles) and re-run it -- a capacity
           bust mid-run costs one chunk retry instead of corrupt
@@ -859,7 +899,15 @@ class MDSystem:
         any_stale = jnp.zeros((), dtype=bool)
         remaining = n_steps
         regrows = 0
-        self._poll_overflow(on_overflow, check_every)
+        if on_overflow == "regrow":
+            # flags left queued by a previous async run: in regrow
+            # mode a hit grows capacity instead of raising advice to
+            # use the mode the caller is already in
+            if self._drain_pending():
+                self._grow_capacity()
+                state = self._rebuild_state_lists(state)
+        else:
+            self._poll_overflow(on_overflow, check_every)
         while remaining > 0:
             snapshot = state if on_overflow == "regrow" else None
             if self.n_respa > 1 and remaining >= self.n_respa:
@@ -877,13 +925,17 @@ class MDSystem:
                                     < self.n_respa),
                     n_chunks=n_chunks)
             else:
-                steps = min(inner, remaining)
-                state = self._run_chunk(state, n_steps=steps,
+                chunk_steps = min(inner, remaining)
+                n_chunks = max(1, min(launch_chunks,
+                                      remaining // chunk_steps))
+                steps = n_chunks * chunk_steps
+                state = self._run_chunk(state, n_steps=chunk_steps,
                                         dt_fs=dt_fs,
                                         thermostat=thermostat,
                                         temperature=temperature,
                                         tau_fs=tau_fs,
-                                        friction_ps=friction_ps)
+                                        friction_ps=friction_ps,
+                                        n_chunks=n_chunks)
             if on_overflow == "regrow":
                 if self.overflowed(state):
                     if regrows >= max_regrows:
@@ -899,28 +951,60 @@ class MDSystem:
                 if state.nbr3 is not None:
                     over = over | state.nbr3.overflow
                 self._pending_overflow.append(over)
+                # reset the carried flags so each queued entry covers
+                # exactly one launch: without this a single overflow
+                # stays OR-sticky across every later launch (repeated
+                # warnings, and recovery becomes indistinguishable)
+                false_flag = jnp.zeros((), dtype=bool)
+                nbr2 = state.nbr2._replace(overflow=false_flag)
+                nbr3 = state.nbr3._replace(overflow=false_flag) \
+                    if state.nbr3 is not None else None
+                state = state._replace(nbr2=nbr2, nbr3=nbr3)
                 self._poll_overflow(on_overflow, check_every)
             any_stale = any_stale | state.stale
             remaining -= steps
             if callback is not None:
                 callback(state, n_steps - remaining)
         if on_overflow != "regrow":
-            self._poll_overflow(on_overflow, check_every)
+            if sync:
+                # synchronous guarantee: every flag queued by this
+                # run is resolved before returning (one host sync)
+                if self._drain_pending(warn=(on_overflow == "warn")):
+                    if on_overflow != "warn":
+                        self._report_overflow(on_overflow)
+            else:
+                self._poll_overflow(on_overflow, check_every)
         return state._replace(stale=any_stale)
 
+    def _drain_pending(self, warn: bool = False) -> bool:
+        """Blockingly resolve ALL queued overflow flags; returns
+        whether any was set.  With ``warn=True`` each hit emits its
+        own warning as it is found."""
+        hit = False
+        for flag in self._pending_overflow:
+            if bool(flag):
+                hit = True
+                if warn:
+                    self._report_overflow("warn")
+        self._pending_overflow.clear()
+        return hit
+
     def _poll_overflow(self, on_overflow: str, check_every: int):
-        """Resolve queued per-chunk overflow flags without blocking:
+        """Resolve queued per-launch overflow flags without blocking:
         pop every flag whose device->host transfer already finished;
         block on the oldest only when the backlog reaches
         ``check_every`` (bounds how long an overflow can stay
         undetected).  Chunks execute in dispatch order, so draining
         from the front never waits on an unfinished chunk while a
-        finished one goes unchecked."""
+        finished one goes unchecked.  In 'warn' mode a hit keeps
+        draining (later distinct overflows each surface); in 'raise'
+        mode the remaining backlog is discarded before raising."""
         pending = self._pending_overflow
         while pending and (pending[0].is_ready()
                            or len(pending) >= max(1, check_every)):
             if bool(pending.pop(0)):
-                pending.clear()
+                if on_overflow != "warn":
+                    pending.clear()
                 self._report_overflow(on_overflow)
 
     @staticmethod
@@ -944,7 +1028,8 @@ class MDSystem:
                 friction_ps: float = 2.0,
                 barostat: str = "scr",
                 atoms_template=None,
-                callback=None):
+                callback=None,
+                launch_chunks: int = 1):
         """
         NPT molecular dynamics (Langevin thermostat).  Barostats:
 
@@ -960,7 +1045,12 @@ class MDSystem:
           (1 - dt/tau_p * beta * (P0 - P))^(1/3) (approximate; does
           not sample the NPT ensemble).
 
-        Returns (state, cell_history: one (3, 3) cell per chunk).
+        ``launch_chunks > 1`` scans whole rebuild cycles inside one
+        jit launch (scr only; same dispatch amortization as run()),
+        with the overflow check, regrow snapshots and cell history at
+        launch granularity.
+
+        Returns (state, cell_history: one (3, 3) cell per launch).
         The system's cell is mutated; neighbor capacities absorb
         density changes by regrow-on-overflow.
         """
@@ -973,12 +1063,17 @@ class MDSystem:
             steps = min(inner, n_steps - done)
             snapshot = state
             if barostat == "scr":
+                n_chunks = max(1, min(launch_chunks,
+                                      (n_steps - done) // steps))
+                steps = n_chunks * steps
                 state = self._run_chunk(
-                    state, n_steps=steps, dt_fs=dt_fs,
+                    state, n_steps=min(inner, n_steps - done),
+                    dt_fs=dt_fs,
                     thermostat="langevin", temperature=temperature,
                     friction_ps=friction_ps, barostat="scr",
                     pressure=pressure, tau_p_fs=tau_p_fs,
-                    compressibility=compressibility)
+                    compressibility=compressibility,
+                    n_chunks=n_chunks)
                 if self.overflowed(state):
                     if regrows >= max_regrows:
                         raise RuntimeError(
@@ -1038,11 +1133,8 @@ class MDSystem:
             flag = flag | state.nbr3.overflow
         # also drain any overflow flags still queued from past chunks
         # (async detection in run()): this is the synchronous check
-        hit = bool(flag)
-        for f in self._pending_overflow:
-            hit = hit or bool(f)
-        self._pending_overflow.clear()
-        return hit
+        queued = self._drain_pending()
+        return bool(flag) or queued
 
     # -- observables --------------------------------------------------------
     def temperature(self, state: MDState) -> float:

@@ -353,7 +353,8 @@ def _trio_block_compute(comps, valid, grid,
                         active_bc=None,
                         window=None,
                         pair_pre=None,
-                        center_w=None):
+                        center_w=None,
+                        precision=None):
     """
     Fused per-block computation shared by the Pallas kernel and the
     plain-XLA unrolled path: from per-component displacements (a tuple
@@ -395,12 +396,14 @@ def _trio_block_compute(comps, valid, grid,
     # (BA, K*K, Cw) and paying two 2M-element transposes
     c_p, dc_p = _dense_basis(r_mn, pair_valid, spec_n,
                              lo=c_lo, hi=c_hi, transposed=True)
+    if precision is None:
+        precision = MATMUL_PRECISION
     g_flat = grid[w_lo:w_hi, w_lo:w_hi, c_lo:c_hi].reshape(ww, ww * cw)
     h = jnp.dot(a_mat.reshape(ba * k, ww), g_flat,
-                precision=MATMUL_PRECISION,
+                precision=precision,
                 preferred_element_type=dtype).reshape(ba, k, ww, cw)
     h1 = jnp.dot(da_mat.reshape(ba * k, ww), g_flat,
-                 precision=MATMUL_PRECISION,
+                 precision=precision,
                  preferred_element_type=dtype).reshape(ba, k, ww, cw)
     # accumulate T[m, n] = sum_bc B[n, b] C[mn, c] H[m, b, c] on the
     # K*K pair-lane axis: the m-dependent H columns are repeated onto
