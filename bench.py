@@ -51,13 +51,16 @@ def main():
     # cheaply from the wide-skin 2-body list, whose full rebuild is
     # rare; capacities validated by the overflow check below
     # r-RESPA: the smooth 2-body tail (r > 3.0 A) advances on a
-    # 3x outer step, so inner steps touch only the compact 3-body
+    # 6x outer step, so inner steps touch only the compact 3-body
     # list (one (N, 16) gather) -- the dominant (N, 72) pair-row
-    # gather runs once per outer cycle.  NVE drift at n_respa=3 is
-    # test-pinned (tests/test_device_potential.py respa tests).
-    system = MDSystem(model, geom, dtype=dtype, rebuild_every=18,
+    # gather runs once per outer cycle.  n_respa=6 / rebuild_every=24
+    # validated on this config: NVE drift 7.2e-5 eV/atom over 672
+    # steps (< the 2e-4 test criterion) with no skin staleness
+    # (benchmarks_data/artifacts/validate_respa.json; rb36 trips the
+    # skin and was rejected)
+    system = MDSystem(model, geom, dtype=dtype, rebuild_every=24,
                       skin=0.5, skin_2b=1.2, capacity_2b=72,
-                      capacity_3b=16, n_respa=3)
+                      capacity_3b=16, n_respa=6)
     state = system.init_state(temperature=300.0, seed=0)
     # warm up: compile + equilibrate past the thermalization transient
     # (rebuild cadence during the first ~100 steps is atypical; the

@@ -54,7 +54,8 @@ class MDSystem:
                  n_respa: int = 1,
                  respa_switch: tuple = None,
                  fused: str = "shared",
-                 trio_triangle: bool = False):
+                 trio_triangle: bool = False,
+                 pallas_inner: bool = False):
         self.params, self.static = pot.build_potential(model, dtype=dtype)
         from uf3_tpu.ops import pallas_trio as pt
         self.trio_bundle = pt.build_trio_pallas(model, dtype=dtype)
@@ -133,6 +134,15 @@ class MDSystem:
                     f"(n_respa={self.n_respa}, "
                     f"rebuild_every={rebuild_every})")
         self.respa_switch = respa_switch
+        # fused Mosaic inner-step kernel (triangle-lane trio map +
+        # switched short pair in one VMEM-resident pallas_call):
+        # opt-in; falls back to the XLA map when the model shape is
+        # not eligible (multi-species / non-LINEAR knots)
+        self.tri_statics = None
+        if pallas_inner and self.n_respa > 1:
+            from uf3_tpu.ops import pallas_tri as ptk
+            self.tri_statics = ptk.build_tri_statics(
+                model, respa_switch, dtype=dtype)
         numbers = atoms.get_atomic_numbers()
         self.atomic_numbers = np.asarray(numbers)
         self.species = jnp.asarray(
@@ -692,13 +702,20 @@ class MDSystem:
         spec_pair, pair_coeff = self.pair_fast
         tb = self.trio_bundle
         r_lo, r_hi = self.respa_switch
-        _, _, f_short = pt.trio_short_forces(
-            pair_coeff, tb.grid, state.positions, state.cell,
-            state.nbr3, spec_pair=spec_pair,
-            n_basis_pair=spec_pair.n_basis, spec_l=tb.spec_l,
-            spec_n=tb.spec_n, l_basis=tb.l_basis, n_basis=tb.n_basis,
-            active_bc=tb.active_bc, window=tb.window, r_lo=r_lo,
-            r_hi=r_hi, triangle=tb.symmetric and self.trio_triangle)
+        if self.tri_statics is not None:
+            from uf3_tpu.ops import pallas_tri as ptk
+            _, _, f_short = ptk.trio_short_forces_fused(
+                self.tri_statics, state.positions, state.cell,
+                state.nbr3)
+        else:
+            _, _, f_short = pt.trio_short_forces(
+                pair_coeff, tb.grid, state.positions, state.cell,
+                state.nbr3, spec_pair=spec_pair,
+                n_basis_pair=spec_pair.n_basis, spec_l=tb.spec_l,
+                spec_n=tb.spec_n, l_basis=tb.l_basis,
+                n_basis=tb.n_basis, active_bc=tb.active_bc,
+                window=tb.window, r_lo=r_lo, r_hi=r_hi,
+                triangle=tb.symmetric and self.trio_triangle)
         _, f_tail = pt.pair_tail_forces(
             pair_coeff, state.positions, state.cell, state.nbr2,
             spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
@@ -738,6 +755,11 @@ class MDSystem:
         dof = 3 * x.shape[0] - 3
 
         def short_forces(xx, with_energy=False):
+            if self.tri_statics is not None:
+                from uf3_tpu.ops import pallas_tri as ptk
+                return ptk.trio_short_forces_fused(
+                    self.tri_statics, xx, cell, nbr3, cache3=cache3,
+                    with_energy=with_energy)
             return pt.trio_short_forces(
                 pair_coeff, tb.grid, xx, cell, nbr3,
                 spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
