@@ -72,6 +72,17 @@ def main():
     model.to_json("model_2and3_refit.json")
     print("model written to model_2and3_refit.json")
 
+    # multi-panel 3B slice grid (r_ij x r_ik panels over r_jk)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        from uf3_tpu.util.plotting import ThreeBodyPlotter
+        fig, _ = ThreeBodyPlotter(model).plot_slices(n_panels=5)
+        fig.savefig("slices_3b.png", dpi=140)
+        print("3B slice grid written to slices_3b.png")
+    except ImportError:
+        pass
+
 
 if __name__ == "__main__":
     main()

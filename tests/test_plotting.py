@@ -89,3 +89,30 @@ class TestVolumePlotter:
         assert ax is not None
         ax2 = pl.plot_volume(n_samples=10, theta=True)
         assert ax2 is not None
+
+
+@pytest.mark.smoke
+class TestSliceGrid:
+    def test_panel_grid(self, w_model):
+        """Multi-panel r_jk slice grid renders with a shared scale
+        and one panel per requested third-leg distance (parity with
+        the reference's plot_slices_3b panel grid)."""
+        from uf3_tpu.util.plotting import ThreeBodyPlotter
+        tbp = ThreeBodyPlotter(w_model)
+        fig, axes = tbp.plot_slices(n_panels=4, n=24)
+        assert len(axes) == 4
+        # panel values match direct surface evaluation at the center
+        lo, hi = tbp.knots[2][0], tbp.knots[2][-1]
+        pad = 0.08 * (hi - lo)
+        r_jk = np.linspace(lo + pad, hi - pad, 4)[1]
+        mesh = axes[1].collections[0]
+        n = 24
+        r1 = np.linspace(tbp.knots[0][0], tbp.knots[0][-1] - 1e-9, n)
+        r2 = np.linspace(tbp.knots[1][0], tbp.knots[1][-1] - 1e-9, n)
+        g1, g2 = np.meshgrid(r1, r2, indexing="ij")
+        expected = tbp.evaluate(g1.ravel(), g2.ravel(),
+                                np.full(n * n, r_jk)).reshape(n, n)
+        assert np.allclose(np.asarray(mesh.get_array()).reshape(n, n),
+                           expected)
+        import matplotlib.pyplot as plt
+        plt.close(fig)

@@ -139,6 +139,57 @@ class ThreeBodyPlotter:
                      f"{r_jk:.2f}")
         return ax, contour
 
+    def plot_slices(self, r_jk_values=None, n_panels: int = 5,
+                    n: int = 60, fig=None, cmap: str = "RdBu_r",
+                    symmetric_scale: bool = True):
+        """Multi-panel grid of (r_ij, r_ik) energy slices over a
+        sweep of the third-leg distance -- parity with the
+        reference's panel-grid 3B visualization
+        (uf3/util/plot_slices_3b.py:11), rebuilt on the analytic
+        tensor-product evaluation (no ndsplines).
+
+        One shared symmetric color normalization across panels plus a
+        single colorbar, so panels are visually comparable.  Returns
+        (fig, axes)."""
+        import matplotlib.pyplot as plt
+        from matplotlib import colors as mcolors
+        if r_jk_values is None:
+            lo, hi = self.knots[2][0], self.knots[2][-1]
+            pad = 0.08 * (hi - lo)
+            r_jk_values = np.linspace(lo + pad, hi - pad, n_panels)
+        r_jk_values = np.asarray(r_jk_values, dtype=float)
+        n_panels = len(r_jk_values)
+        r1 = np.linspace(self.knots[0][0],
+                         self.knots[0][-1] - 1e-9, n)
+        r2 = np.linspace(self.knots[1][0],
+                         self.knots[1][-1] - 1e-9, n)
+        g1, g2 = np.meshgrid(r1, r2, indexing="ij")
+        panels = [self.evaluate(g1.ravel(), g2.ravel(),
+                                np.full(n * n, rjk)).reshape(n, n)
+                  for rjk in r_jk_values]
+        vmax = max(1e-12, max(np.abs(p).max() for p in panels))
+        norm = mcolors.Normalize(vmin=-vmax, vmax=vmax) \
+            if symmetric_scale else None
+        if fig is None:
+            fig, axes = plt.subplots(
+                1, n_panels, figsize=(2.6 * n_panels, 2.8),
+                sharey=True, constrained_layout=True)
+        else:
+            axes = fig.subplots(1, n_panels, sharey=True)
+        axes = np.atleast_1d(axes)
+        mappable = None
+        for ax, rjk, vals in zip(axes, r_jk_values, panels):
+            mappable = ax.pcolormesh(g1, g2, vals, cmap=cmap,
+                                     norm=norm, shading="auto")
+            ax.set_title(f"$r_{{jk}}$ = {rjk:.2f}", fontsize=9)
+            ax.set_xlabel(r"$r_{ij}$ ($\mathrm{\AA}$)")
+            ax.set_aspect("equal")
+        axes[0].set_ylabel(r"$r_{ik}$ ($\mathrm{\AA}$)")
+        fig.colorbar(mappable, ax=list(axes), shrink=0.85,
+                     label="energy (eV)")
+        fig.suptitle("-".join(self.trio), fontsize=10)
+        return fig, axes
+
     def plot_angular_slice(self, r: float, ax=None, n: int = 100,
                            **kwargs):
         """Energy vs bond angle at equal leg lengths r_ij = r_ik = r."""
