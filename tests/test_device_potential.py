@@ -405,6 +405,69 @@ class TestNPT:
         e1 = float(state.energy) + system.kinetic_energy(state)
         assert abs(e1 - e0) / len(geom) < 2e-4  # eV/atom drift
 
+    def test_respa3l_force_split_exact(self):
+        """The 3-level RESPA partition (switched short pair / trio /
+        tail) must reconstruct the full force field exactly."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        geom.rattle(0.04, seed=13)
+        system = MDSystem(model, geom, dtype=jnp.float64, n_respa=4,
+                          respa_mid=2)
+        state = system.init_state()
+        e_full, f_full, _ = system.energy_forces(
+            state.positions, state.nbr2, state.nbr3)
+        f_ps, f_mid, f_tail = system._respa_split_forces_3l(state)
+        assert np.allclose(np.asarray(f_ps + f_mid + f_tail),
+                           np.asarray(f_full), atol=1e-9)
+
+    def test_respa3l_nve_drift(self):
+        """3-level r-RESPA NVE: energy drift stays bounded with the
+        trio force on a 2x mid timestep."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        system = MDSystem(model, geom, dtype=jnp.float64,
+                          rebuild_every=12, n_respa=4, respa_mid=2)
+        state = system.init_state(temperature=600.0, seed=1)
+        e0 = float(state.energy) + system.kinetic_energy(state)
+        state = system.run(state, n_steps=120, dt_fs=1.0)
+        e1 = float(state.energy) + system.kinetic_energy(state)
+        assert abs(e1 - e0) / len(geom) < 2e-4  # eV/atom drift
+
+    def test_respa3l_launch_chunks_exact(self):
+        """launch_chunks > 1 must reproduce the per-cycle-launch
+        trajectory exactly on the 3-level RESPA path too."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 3
+        kw = dict(dtype=jnp.float64, rebuild_every=12, n_respa=4,
+                  respa_mid=2)
+        run_kw = dict(n_steps=96, dt_fs=1.0, thermostat="langevin",
+                      temperature=500.0)
+        sys_a = MDSystem(model, geom, **kw)
+        st_a = sys_a.run(sys_a.init_state(temperature=500.0, seed=7),
+                         **run_kw)
+        sys_b = MDSystem(model, geom, **kw)
+        st_b = sys_b.run(sys_b.init_state(temperature=500.0, seed=7),
+                         launch_chunks=4, **run_kw)
+        assert np.allclose(np.asarray(st_a.positions),
+                           np.asarray(st_b.positions), atol=1e-12)
+        assert np.allclose(np.asarray(st_a.velocities),
+                           np.asarray(st_b.velocities), atol=1e-12)
+        assert np.isclose(float(st_a.energy), float(st_b.energy),
+                          atol=1e-10)
+
+    def test_respa3l_validation(self):
+        """respa_mid must divide n_respa and require n_respa > 1."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * 2
+        with pytest.raises(ValueError, match="multiple of respa_mid"):
+            MDSystem(model, geom, n_respa=4, respa_mid=3)
+        with pytest.raises(ValueError, match="requires n_respa"):
+            MDSystem(model, geom, n_respa=1, respa_mid=2)
+
     def test_launch_chunks_exact(self):
         """Scanning whole rebuild cycles inside one jit launch
         (launch_chunks > 1) must reproduce the per-cycle-launch

@@ -37,6 +37,8 @@ class MDState(NamedTuple):
     cell: jnp.ndarray        # (3, 3) simulation cell (traced: NPT scales it)
     f_short: jnp.ndarray = None  # r-RESPA split forces carried across
     f_tail: jnp.ndarray = None   # chunks (valid for the same positions)
+    f_mid: jnp.ndarray = None    # 3-level r-RESPA: 3-body force at the
+    #   mid timestep (respa_mid > 1), carried like f_short / f_tail
 
 
 class MDSystem:
@@ -52,6 +54,7 @@ class MDSystem:
                  skin_2b: float = None,
                  rebuild_every: int = 20,
                  n_respa: int = 1,
+                 respa_mid: int = 1,
                  respa_switch: tuple = None,
                  fused: str = "shared",
                  trio_triangle: bool = False,
@@ -133,6 +136,22 @@ class MDSystem:
                     "one outer step "
                     f"(n_respa={self.n_respa}, "
                     f"rebuild_every={rebuild_every})")
+        # 3-level r-RESPA: with respa_mid > 1 the 3-body force (the
+        # expensive map + cross-atom assembly) moves to its own mid
+        # timestep dt * respa_mid; the innermost step integrates ONLY
+        # the switched short-range pair force, which is row-local on
+        # the (N, K3) rows -- no assembly gather.  The three forces
+        # partition the total exactly (S + (1 - S) = 1 on pairs, the
+        # 3-body term whole at the mid level).
+        self.respa_mid = int(respa_mid)
+        if self.respa_mid > 1:
+            if self.n_respa <= 1:
+                raise ValueError("respa_mid > 1 requires n_respa > 1")
+            if self.n_respa % self.respa_mid != 0:
+                raise ValueError(
+                    "n_respa must be a multiple of respa_mid "
+                    f"(got n_respa={self.n_respa}, "
+                    f"respa_mid={self.respa_mid})")
         self.respa_switch = respa_switch
         # fused Mosaic inner-step kernel (triangle-lane trio map +
         # switched short pair in one VMEM-resident pallas_call):
@@ -677,14 +696,24 @@ class MDSystem:
             # lists are complete within their cutoffs (skin
             # invariant), so computing them from the entry lists is
             # exact; chunk boundaries afterwards carry them
-            f_short, f_tail = self._respa_split_forces(state)
-            state = state._replace(f_short=f_short, f_tail=f_tail)
+            if self.respa_mid > 1:
+                f_ps, f_mid, f_tail = self._respa_split_forces_3l(
+                    state)
+                state = state._replace(f_short=f_ps, f_mid=f_mid,
+                                       f_tail=f_tail)
+            else:
+                f_short, f_tail = self._respa_split_forces(state)
+                state = state._replace(f_short=f_short, f_tail=f_tail)
 
         # the flag resets per LAUNCH (run() ORs it into any_stale);
         # within the launch the cycles keep it sticky
         state = state._replace(stale=jnp.zeros((), dtype=bool))
 
         def cycle(s, ce):
+            if self.respa_mid > 1:
+                return self._respa_cycle_3l(
+                    s, n_outer, dt_fs, thermostat, temperature,
+                    tau_fs, friction_ps, ce)
             return self._respa_cycle(
                 s, n_outer, dt_fs, thermostat, temperature, tau_fs,
                 friction_ps, ce)
@@ -841,6 +870,173 @@ class MDSystem:
                        nbr2=nbr2, nbr3=nbr3, key=key, xi=xi,
                        stale=stale, cell=cell, f_short=f_short,
                        f_tail=f_tail)
+
+    def _respa_split_forces_3l(self, state: MDState):
+        """(f_pair_short, f_trio, f_tail) at ``state``'s positions --
+        the 3-level r-RESPA force partition (respa_mid > 1)."""
+        from uf3_tpu.ops import pallas_trio as pt
+        spec_pair, pair_coeff = self.pair_fast
+        tb = self.trio_bundle
+        r_lo, r_hi = self.respa_switch
+        cache3 = pt.build_trio_cache(state.nbr3, state.cell,
+                                     self.dtype)
+        _, f_ps, comps = pt.pair_short_forces(
+            pair_coeff, state.positions, state.cell, state.nbr3,
+            spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
+            with_energy=False, r_lo=r_lo, r_hi=r_hi, cache3=cache3)
+        _, f_mid = pt.trio_forces_unrolled(
+            tb.grid, state.positions, state.cell, state.nbr3.idx,
+            state.nbr3.shift, state.nbr3.mask, state.nbr3.rev,
+            spec_l=tb.spec_l, spec_n=tb.spec_n, l_basis=tb.l_basis,
+            n_basis=tb.n_basis, with_energy=False,
+            active_bc=tb.active_bc, window=tb.window,
+            triangle=tb.symmetric and self.trio_triangle,
+            cache=cache3, comps=comps)
+        _, f_tail = pt.pair_tail_forces(
+            pair_coeff, state.positions, state.cell, state.nbr2,
+            spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
+            with_energy=False, r_lo=r_lo, r_hi=r_hi)
+        return f_ps, f_mid, f_tail
+
+    def _respa_cycle_3l(self, state: MDState, n_outer: int,
+                        dt_fs: float,
+                        thermostat: Optional[str],
+                        temperature: float,
+                        tau_fs: float,
+                        friction_ps: float,
+                        compute_energy: bool) -> MDState:
+        """One traced rebuild cycle of 3-level r-RESPA MD: per outer
+        cycle [tail half-kick, n_respa/respa_mid mid cycles, tail
+        half-kick]; per mid cycle [trio half-kick, respa_mid inner
+        steps on the switched short pair force, trio refresh +
+        half-kick].  The trio refresh REUSES the final inner step's
+        displacement gather (same positions, same (N, K3) rows), so
+        the expensive map + assembly runs once per respa_mid steps at
+        no extra gather cost.  Requires state.f_short (pair-short),
+        state.f_mid (trio), state.f_tail."""
+        from uf3_tpu.ops import pallas_trio as pt
+        dt = jnp.asarray(dt_fs * units.fs, dtype=self.dtype)
+        friction = friction_ps / units.ps
+        tau = tau_fs * units.fs
+        n_mid = self.respa_mid
+        n_midcycles = self.n_respa // n_mid
+        dt_mid = dt * n_mid
+        dt_out = dt * self.n_respa
+        x, nbr2, nbr3 = self._rebuild_switch(state)
+        nbr2 = nbr2._replace(
+            overflow=nbr2.overflow | state.nbr2.overflow)
+        nbr3 = nbr3._replace(
+            overflow=nbr3.overflow | state.nbr3.overflow)
+        cell = state.cell
+        cache2 = pt.build_pair_cache(nbr2.idx, nbr2.shift, nbr2.mask,
+                                     cell, self.dtype)
+        cache3 = pt.build_trio_cache(nbr3, cell, self.dtype)
+        spec_pair, pair_coeff = self.pair_fast
+        tb = self.trio_bundle
+        r_lo, r_hi = self.respa_switch
+        m = self.masses[:, None]
+        dof = 3 * x.shape[0] - 3
+
+        def ps_forces(xx, comps=None, with_energy=False):
+            return pt.pair_short_forces(
+                pair_coeff, xx, cell, nbr3, spec_pair=spec_pair,
+                n_basis_pair=spec_pair.n_basis,
+                with_energy=with_energy, r_lo=r_lo, r_hi=r_hi,
+                cache3=cache3, comps=comps)
+
+        def trio_forces(xx, comps, with_energy=False):
+            return pt.trio_forces_unrolled(
+                tb.grid, xx, cell, nbr3.idx, nbr3.shift, nbr3.mask,
+                nbr3.rev, spec_l=tb.spec_l, spec_n=tb.spec_n,
+                l_basis=tb.l_basis, n_basis=tb.n_basis,
+                with_energy=with_energy, active_bc=tb.active_bc,
+                window=tb.window,
+                triangle=tb.symmetric and self.trio_triangle,
+                cache=cache3, comps=comps)
+
+        def tail_forces(xx, with_energy=False):
+            return pt.pair_tail_forces(
+                pair_coeff, xx, cell, nbr2, spec_pair=spec_pair,
+                n_basis_pair=spec_pair.n_basis,
+                with_energy=with_energy, r_lo=r_lo, r_hi=r_hi,
+                cache2=cache2)
+
+        def thermostat_fn(v, key, xi):
+            if thermostat == "langevin":
+                key, sub = jax.random.split(key)
+                c1 = jnp.exp(-friction * dt)
+                cn = jnp.sqrt((1 - c1 ** 2) * units.kB * temperature
+                              / m)
+                v = c1 * v + cn * jax.random.normal(sub, v.shape,
+                                                    dtype=v.dtype)
+            elif thermostat == "nose_hoover":
+                ke = 0.5 * jnp.sum(m * v * v)
+                q = dof * units.kB * temperature * tau ** 2
+                xi = xi + dt * (2.0 * ke
+                                - dof * units.kB * temperature) / q
+                v = v * jnp.exp(-xi * dt)
+            return v, key, xi
+
+        def inner_step(x, v, f_ps, key, xi, stale):
+            v = v + 0.5 * dt * f_ps / m
+            x = x + dt * v
+            _, f_new, comps = ps_forces(x)
+            v = v + 0.5 * dt * f_new / m
+            v, key, xi = thermostat_fn(v, key, xi)
+            stale = stale | nb.needs_rebuild(nbr2, x, self.skin_2b)
+            if self.two_tier:
+                stale = stale | nb.needs_rebuild(nbr3, x, self.skin)
+            return x, v, f_new, comps, key, xi, stale
+
+        def mid_body(carry, _):
+            x, v, f_ps, f_mid, key, xi, stale = carry
+            v = v + 0.5 * dt_mid * f_mid / m
+
+            def ib(_, c):
+                x, v, f_ps, key, xi, stale = c
+                x, v, f_ps, _, key, xi, stale = inner_step(
+                    x, v, f_ps, key, xi, stale)
+                return (x, v, f_ps, key, xi, stale)
+
+            if n_mid > 1:
+                x, v, f_ps, key, xi, stale = jax.lax.fori_loop(
+                    0, n_mid - 1, ib, (x, v, f_ps, key, xi, stale))
+            # final inner step keeps its gather for the trio refresh
+            x, v, f_ps, comps, key, xi, stale = inner_step(
+                x, v, f_ps, key, xi, stale)
+            _, f_mid = trio_forces(x, comps)
+            v = v + 0.5 * dt_mid * f_mid / m
+            return (x, v, f_ps, f_mid, key, xi, stale), None
+
+        def outer_body(carry, _):
+            x, v, f_ps, f_mid, f_tail, key, xi, stale = carry
+            v = v + 0.5 * dt_out * f_tail / m
+            mid_carry = (x, v, f_ps, f_mid, key, xi, stale)
+            mid_carry, _ = jax.lax.scan(mid_body, mid_carry, None,
+                                        length=n_midcycles)
+            x, v, f_ps, f_mid, key, xi, stale = mid_carry
+            _, f_tail = tail_forces(x)
+            v = v + 0.5 * dt_out * f_tail / m
+            return (x, v, f_ps, f_mid, f_tail, key, xi, stale), None
+
+        carry = (x, state.velocities, state.f_short, state.f_mid,
+                 state.f_tail, state.key, state.xi, state.stale)
+        carry, _ = jax.lax.scan(outer_body, carry, None,
+                                length=n_outer)
+        x, v, f_ps, f_mid, f_tail, key, xi, stale = carry
+        if compute_energy:
+            e_ps, f_ps, comps = ps_forces(x, with_energy=True)
+            e3, f_mid = trio_forces(x, comps, with_energy=True)
+            e_t, f_tail = tail_forces(x, with_energy=True)
+            e1 = jnp.sum(self.params.offsets_1b[self.species])
+            energy = e1 + e_ps + e_t + jnp.sum(e3)
+        else:
+            energy = state.energy
+        return MDState(positions=x, velocities=v,
+                       forces=f_ps + f_mid + f_tail, energy=energy,
+                       nbr2=nbr2, nbr3=nbr3, key=key, xi=xi,
+                       stale=stale, cell=cell, f_short=f_ps,
+                       f_tail=f_tail, f_mid=f_mid)
 
     def _grow_capacity(self, factor: float = 1.5):
         """Grow neighbor-row and cell-bin capacities (recompiles)."""

@@ -1094,7 +1094,8 @@ def trio_forces_unrolled(grid,
                          window=None,
                          triangle: bool = False,
                          cache: Optional[ForceCache] = None,
-                         center_weight=None):
+                         center_weight=None,
+                         comps=None):
     """
     Plain-XLA twin of the Pallas kernel: the same fused pair-lane
     computation applied blockwise with lax.map to bound intermediate
@@ -1102,6 +1103,8 @@ def trio_forces_unrolled(grid,
     With ``with_energy=False`` the value-accumulation chain is elided
     (MD inner steps need forces only).  With ``with_virial=True`` the
     return gains the analytic Voigt virial (xx, yy, zz, yz, xz, xy).
+    ``comps`` (3-tuple of (N, K)) reuses an existing displacement
+    gather (3-level r-RESPA shares the innermost step's rows).
 
     ``center_weight`` (N,) scales each CENTER row's outputs (energy,
     center force, emitted neighbor partials) before assembly -- the
@@ -1125,10 +1128,11 @@ def trio_forces_unrolled(grid,
                 (nbr_idx.astype(jnp.int32) * k
                  + nbr_rev.astype(jnp.int32)).T),
             valid_b=nbr_mask)
-    pj = gather_rows_blocks(positions, cache.idx_flats,
-                            positions.shape[0])
-    comps = tuple(pj[..., c] + cache.sd[c]
-                  - positions[:, c][:, None] for c in range(3))
+    if comps is None:
+        pj = gather_rows_blocks(positions, cache.idx_flats,
+                                positions.shape[0])
+        comps = tuple(pj[..., c] + cache.sd[c]
+                      - positions[:, c][:, None] for c in range(3))
     r2 = comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2
     r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
     pad = (-n_atoms) % block_atoms
@@ -1561,6 +1565,52 @@ def _switch_poly(r, r_lo: float, r_hi: float):
     s = 1.0 - (10.0 * u3 - 15.0 * u3 * u + 6.0 * u3 * u2)
     ds = -(30.0 * u2 - 60.0 * u3 + 30.0 * u2 * u2) / width
     return s, ds
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec_pair", "n_basis_pair",
+                                    "with_energy", "r_lo", "r_hi"))
+def pair_short_forces(pair_coefficients, positions, cell, nbr3,
+                      spec_pair: LegSpec = None,
+                      n_basis_pair: int = 0,
+                      with_energy: bool = True,
+                      r_lo: float = 0.0,
+                      r_hi: float = 0.0,
+                      cache3: Optional[ForceCache] = None,
+                      comps=None):
+    """Innermost r-RESPA force (3-level split): the switched
+    short-range 2-body V_short = S(r) V(r) alone, on the compact
+    3-body list's rows.  Row-local -- every pair appears in both
+    rows, so there is NO cross-atom assembly gather; together with
+    trio_only_forces at the mid level and pair_tail_forces at the
+    outer level this partitions the total force exactly
+    (S + (1 - S) = 1 on pairs; the 3-body term is whole at the mid
+    level).  ``comps`` (3-tuple of (N, K3)) reuses an existing
+    displacement gather.  Returns (e_short, forces (N, 3), comps)."""
+    dtype = positions.dtype
+    n_atoms = positions.shape[0]
+    if cache3 is None:
+        cache3 = build_trio_cache(nbr3, cell, dtype)
+    if comps is None:
+        pj = gather_rows_blocks(positions, cache3.idx_flats, n_atoms)
+        comps = tuple(pj[..., c] + cache3.sd[c]
+                      - positions[:, c][:, None] for c in range(3))
+    r2 = comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    valid2 = (cache3.valid
+              * (r > spec_pair.t_min).astype(dtype)
+              * (r < spec_pair.t_max).astype(dtype))
+    # the value chain is needed regardless of with_energy: the
+    # switched force carries the v2 * dS/dr term
+    v2, dv2 = _pair_chain(r, spec_pair, pair_coefficients,
+                          n_basis_pair, True)
+    s, ds = _switch_poly(r, r_lo, r_hi)
+    e_short = jnp.sum(v2 * s * valid2) if with_energy \
+        else jnp.zeros((), dtype=dtype)
+    w_pair = 2.0 * (dv2 * s + v2 * ds) * valid2 / r
+    forces = jnp.stack([jnp.sum(w_pair * dc, axis=1)
+                        for dc in comps], axis=-1)
+    return e_short, forces, comps
 
 
 @functools.partial(jax.jit,
