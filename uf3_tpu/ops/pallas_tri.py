@@ -190,10 +190,19 @@ def _role_maps(k: int):
 
 
 def make_tri_kernel(st: TriKernelStatics, k: int, ba: int,
-                    with_energy: bool, dtype=jnp.float32):
+                    with_energy: bool, dtype=jnp.float32,
+                    role_impl: str = "gather",
+                    reduce_impl: str = "matmul"):
     """Build the fused kernel body.  Inputs: cx, cy, cz, valid
     (ba, K).  Outputs: head (ba, 8) and partials (ba, K*8) in
-    _pack_partials layout."""
+    _pack_partials layout.
+
+    role_impl: how K-slot arrays expand onto the triangle lanes --
+    "gather" (constant-index tpu.dynamic_gather) or "concat" (static
+    lane-slice broadcasts + one concatenate).
+    reduce_impl: lane->slot reduction -- "matmul" (one 0/1 MXU pass)
+    or "slices" (contiguous m-run slice sums; n-reduce stays matmul).
+    """
     lanes, m_map, n_map, red_m, red_n, _live = _role_maps(k)
     n_lanes = k * (k - 1) // 2
     tiles = -(-lanes // k)
@@ -212,15 +221,48 @@ def make_tri_kernel(st: TriKernelStatics, k: int, ba: int,
         live_j = (jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
                   < n_lanes).astype(dtype)
 
-        def role(x, idx_map):
-            t = jnp.tile(x, (1, tiles))[:, :lanes]
-            return jnp.take_along_axis(t, idx_map, axis=1)
+        if role_impl == "gather":
+            def role(x, idx_map):
+                t = jnp.tile(x, (1, tiles))[:, :lanes]
+                return jnp.take_along_axis(t, idx_map, axis=1)
+        else:
+            def role(x, idx_map):
+                if idx_map is m_map_j:
+                    parts = [jnp.broadcast_to(x[:, m:m + 1],
+                                              (ba, k - 1 - m))
+                             for m in range(k - 1)]
+                else:
+                    parts = [x[:, m + 1:] for m in range(k - 1)]
+                out = jnp.concatenate(parts, axis=1)
+                pad = lanes - out.shape[1]
+                return jnp.pad(out, ((0, 0), (0, pad))) if pad \
+                    else out
+
+        def matmul_red(t):
+            return jnp.dot(t, red_mn,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=t.dtype)
+
+        if reduce_impl == "matmul":
+            def red_parts(t):
+                out = matmul_red(t)
+                return out[:, :k], out[:, k:]
+        else:
+            def red_parts(t):
+                cols = []
+                start = 0
+                for m in range(k - 1):
+                    run = k - 1 - m
+                    cols.append(jnp.sum(t[:, start:start + run],
+                                        axis=1, keepdims=True))
+                    start += run
+                cols.append(jnp.zeros((ba, 1), t.dtype))
+                m_part = jnp.concatenate(cols, axis=1)
+                return m_part, matmul_red(t)[:, k:]
 
         def reduce_mn(t):
-            out = jnp.dot(t, red_mn,
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=t.dtype)
-            return out[:, :k] + out[:, k:]
+            a, b = red_parts(t)
+            return a + b
 
         comps = (cx_ref[:], cy_ref[:], cz_ref[:])
         valid_f = valid_ref[:]
@@ -282,26 +324,13 @@ def make_tri_kernel(st: TriKernelStatics, k: int, ba: int,
             t1 = b_val * d1b if t1 is None else t1 + b_val * d1b
             t2 = b_der * db if t2 is None else t2 + b_der * db
             t3 = b_val * d3b if t3 is None else t3 + b_val * d3b
-        # slot reductions (one MXU matmul per quantity)
-        out_t1 = jnp.dot(t1, red_mn,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=dtype)
-        out_t2 = jnp.dot(t2, red_mn,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=dtype)
-        w_m = out_t1[:, :k] + out_t2[:, k:]
+        # slot reductions (one MXU matmul or slice sums per quantity)
+        w_m = red_parts(t1)[0] + red_parts(t2)[1]
         wr = w_m / r
         g3p = t3 / r_mn
         s3 = reduce_mn(g3p)
-        v3 = []
-        for c in range(3):
-            o = jnp.dot(g3p * dn[c], red_mn,
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=dtype)[:, :k]
-            o2 = jnp.dot(g3p * dm[c], red_mn,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=dtype)[:, k:]
-            v3.append(o + o2)
+        v3 = [red_parts(g3p * dn[c])[0] + red_parts(g3p * dm[c])[1]
+              for c in range(3)]
         # switched short-range pair on the same rows
         valid2 = (valid_f
                   * (r > st.spec_pair.t_min).astype(dtype)
@@ -396,10 +425,14 @@ def trio_short_forces_fused(st: TriKernelStatics, positions, cell,
 
 @functools.partial(jax.jit, static_argnames=("st", "block_atoms",
                                              "with_energy",
+                                             "role_impl",
+                                             "reduce_impl",
                                              "interpret"))
 def tri_inner_map(comps, valid_f, st: TriKernelStatics,
                   block_atoms: int = 256,
                   with_energy: bool = False,
+                  role_impl: str = "gather",
+                  reduce_impl: str = "matmul",
                   interpret: bool = False):
     """Run the fused triangle kernel over all atom blocks.
 
@@ -412,7 +445,9 @@ def tri_inner_map(comps, valid_f, st: TriKernelStatics,
     padded = [jnp.pad(c, ((0, pad), (0, 0))) for c in comps]
     valid_p = jnp.pad(valid_f, ((0, pad), (0, 0)))
     n_blocks = (n_atoms + pad) // ba
-    kernel = make_tri_kernel(st, k, ba, with_energy, dtype=dtype)
+    kernel = make_tri_kernel(st, k, ba, with_energy, dtype=dtype,
+                             role_impl=role_impl,
+                             reduce_impl=reduce_impl)
     # constant operands (index maps, reduce matrix), shared per block
     lanes, m_map, n_map, red_m, red_n, _ = _role_maps(k)
     mn_map = jnp.asarray(np.broadcast_to(
