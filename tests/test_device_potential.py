@@ -79,12 +79,14 @@ class TestNeighborList:
                     pairs.add((a, int(idx[a, s])) + tuple(shift[a, s]))
         return pairs
 
+    @pytest.mark.parametrize("selection", ["pack", "topk"])
     @pytest.mark.parametrize("displace", [False, True])
-    def test_cell_list_matches_bruteforce(self, displace):
+    def test_cell_list_matches_bruteforce(self, displace, selection):
         # the production MD path (>=512 atoms) uses the packed-key
         # cell-list builder; verify the (i, j, image) pair set equals
         # the O(N^2) minimum-image builder's, with atoms optionally
-        # translated outside the primary cell (base-image path)
+        # translated outside the primary cell (base-image path), for
+        # both the prefix-sum-pack and top-k selection modes
         geom = bulk("W", "bcc", a=3.16) * (7, 7, 7)
         geom.rattle(0.1, seed=5)
         pos = np.array(geom.positions)
@@ -99,7 +101,7 @@ class TestNeighborList:
         grid_shape = nb.grid_shape_for(geom.cell, r_cut, geom.pbc)
         cl = nb.build_neighbor_list_cells(
             pos, cell, geom.pbc, r_cut, 48, grid_shape,
-            bin_capacity=24, with_rev=False)
+            bin_capacity=24, with_rev=False, selection=selection)
         assert not bool(ref.overflow) and not bool(cl.overflow)
         assert self._pair_set(cl) == self._pair_set(ref)
         if not displace:
@@ -111,7 +113,8 @@ class TestNeighborList:
                                           48, with_rev=False)
             clw = nb.build_neighbor_list_cells(
                 posw, cell, geom.pbc, r_cut, 48, grid_shape,
-                bin_capacity=24, with_rev=False, assume_wrapped=True)
+                bin_capacity=24, with_rev=False, assume_wrapped=True,
+                selection=selection)
             assert self._pair_set(clw) == self._pair_set(refw)
 
     def test_wrap_positions_exact_translation(self):

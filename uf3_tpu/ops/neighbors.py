@@ -358,21 +358,33 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
                               bin_capacity: int,
                               topology=None,
                               with_rev: bool = True,
-                              assume_wrapped: bool = False
+                              assume_wrapped: bool = False,
+                              selection: str = "pack"
                               ) -> NeighborList:
     """
     O(N) cell-list neighbor search, jit-compatible with static bin
     geometry: one argsort bins the atoms, candidates come from the 27
-    neighbor bins via a static topology map, and the per-row top-k runs
-    over only 27 * bin_capacity candidates instead of all atoms.
+    neighbor bins via a static topology map, and the per-row selection
+    runs over only 27 * bin_capacity candidates instead of all atoms.
 
     The selection is gather-free: the candidate's atom id and stencil
-    shift code are packed into the low bits of the (quantized-d2) top-k
-    key, so the winners decode arithmetically -- no post-top-k gathers
-    over (B, cap_b, 27*cap_b) broadcasts, which dominated the build
-    cost.  Quantizing d2 only permutes the within-row slot order (any
-    order is a valid padded list; nearest-first is preserved to ~10-bit
-    resolution so overflow still drops the farthest candidates first).
+    shift code are packed into the low bits of an integer key, so the
+    winners decode arithmetically -- no post-selection gathers over
+    (B, cap_b, 27*cap_b) broadcasts, which dominated the build cost.
+
+    ``selection`` picks how keys compact into the capacity slots:
+
+    - ``"pack"`` (default): order-preserving prefix-sum pack -- slot
+      of a within-cutoff candidate is its running count along the
+      candidate axis, realized as ``capacity`` masked lane reductions
+      (pure VPU elementwise + reduce, no sort).  Slot order is
+      stencil-major; on a capacity overflow (flagged either way) the
+      candidates dropped are the LAST in stencil order rather than the
+      farthest.
+    - ``"topk"``: per-row ``lax.top_k`` on a quantized-d2-majored key;
+      nearest-first to ~10-bit d2 resolution (overflow drops the
+      farthest candidates first), at the cost of a lane sort that
+      dominates the build (~2x slower end-to-end at 10k atoms).
 
     ``assume_wrapped=True`` asserts every position's fractional
     coordinate lies in [0, 1) along periodic directions (the MD engine
@@ -448,38 +460,56 @@ def build_neighbor_list_cells(positions: jnp.ndarray,
     # stencil shift components are in {-1, 0, 1} by construction
     bits_n = max(1, int(np.ceil(np.log2(max(2, n_atoms)))))
     bits_pay = bits_n + 5
-    if bits_pay > 30:
+    if bits_pay > (31 if selection == "pack" else 30):
         raise ValueError(f"{n_atoms} atoms exceeds the packed-key "
                          "range of the cell-list builder")
-    d2_bits = min(10, 30 - bits_pay)
-    if d2_bits < 6:
-        # the nearest-first overflow-drop guarantee degrades with the
-        # d2 quantization: below ~6 bits (n_atoms > ~2^19) same-bucket
-        # candidates tie-break by shift-code/atom-id, and at 0 bits
-        # (n_atoms > ~2^25) overflow drops become arbitrary.  The drop
-        # order only matters when a row actually overflows (flagged).
-        import warnings
-        warnings.warn(
-            f"cell-list packed key has only {d2_bits} distance bits at "
-            f"{n_atoms} atoms: capacity overflow no longer drops "
-            "strictly farthest-first (overflow is still detected)")
     s_int = nbr_shifts.astype(jnp.int32)
     s_code = ((s_int[:, :, 0] + 1) * 9 + (s_int[:, :, 1] + 1) * 3
               + (s_int[:, :, 2] + 1))                  # (B, 27)
     pay_col = (jnp.repeat(s_code, cap_b, axis=1)
                * (1 << bits_n)) + cand_atoms.astype(jnp.int32)
-    big = jnp.int32(2 ** 31 - 1)
-    if d2_bits > 0:
-        scale = (2 ** d2_bits - 1) / (r_cut * r_cut)
-        d2q = jnp.clip((d2 * scale).astype(jnp.int32), 0,
-                       2 ** d2_bits - 1)
-        key = d2q * (1 << bits_pay) + pay_col[:, None, :]
+    if selection == "pack":
+        # order-preserving prefix-sum pack: the running within-count
+        # along the candidate axis IS the output slot.  Each output
+        # slot s reduces the (B, cap_b, 27*cap_b) plane once with a
+        # slot == s + 1 one-hot mask; exactly one candidate matches
+        # per (row, s), so a masked sum extracts its key.  All VPU
+        # elementwise + lane reductions -- no sort, no gather.
+        slot1 = jnp.cumsum(within.astype(jnp.int32), axis=-1)
+        pay_bc = jnp.where(within, pay_col[:, None, :], 0)
+        key_sel = jnp.stack(
+            [jnp.sum(jnp.where(slot1 == s + 1, pay_bc, 0), axis=-1)
+             for s in range(capacity)], axis=-1)       # (B, cap_b, K)
+        mask_sel = (jnp.arange(capacity, dtype=count_row.dtype)
+                    [None, None, :] < count_row[:, :, None])
+        key_sel = jnp.where(mask_sel, key_sel, 0)
     else:
-        key = jnp.broadcast_to(pay_col[:, None, :], d2.shape)
-    key = jnp.where(within, key, big)
-    neg, _ = jax.lax.top_k(-key, capacity)             # (B, cap_b, K)
-    key_sel = -neg
-    mask_sel = key_sel < big
+        d2_bits = min(10, 30 - bits_pay)
+        if d2_bits < 6:
+            # the nearest-first overflow-drop guarantee degrades with
+            # the d2 quantization: below ~6 bits (n_atoms > ~2^19)
+            # same-bucket candidates tie-break by shift-code/atom-id,
+            # and at 0 bits (n_atoms > ~2^25) overflow drops become
+            # arbitrary.  The drop order only matters when a row
+            # actually overflows (flagged).
+            import warnings
+            warnings.warn(
+                f"cell-list packed key has only {d2_bits} distance "
+                f"bits at {n_atoms} atoms: capacity overflow no "
+                "longer drops strictly farthest-first (overflow is "
+                "still detected)")
+        big = jnp.int32(2 ** 31 - 1)
+        if d2_bits > 0:
+            scale = (2 ** d2_bits - 1) / (r_cut * r_cut)
+            d2q = jnp.clip((d2 * scale).astype(jnp.int32), 0,
+                           2 ** d2_bits - 1)
+            key = d2q * (1 << bits_pay) + pay_col[:, None, :]
+        else:
+            key = jnp.broadcast_to(pay_col[:, None, :], d2.shape)
+        key = jnp.where(within, key, big)
+        neg, _ = jax.lax.top_k(-key, capacity)         # (B, cap_b, K)
+        key_sel = -neg
+        mask_sel = key_sel < big
     idx_sel = (key_sel & ((1 << bits_n) - 1)).astype(jnp.int32)
     o_sel = (key_sel >> bits_n) & 31
     shift_sel = jnp.stack([(o_sel // 9 - 1).astype(positions.dtype),
