@@ -3,53 +3,84 @@ MD throughput vs system size on the current accelerator (single chip).
 
 Runs the flagship 2+3-body tungsten potential (benchmarks_data/
 model_2and3.json) at three bcc supercell sizes through the production
-cell-list path and prints atom-steps/s per size.  Companion to the
-headline bench.py (fixed ~10k-atom configuration).
+cell-list path with the bench defaults (3-level r-RESPA 6/3,
+rebuild_every=24, launch_chunks=10) and records atom-steps/s per size
+in benchmarks_data/artifacts/md_scaling.json.
 
 Usage: python benchmarks/md_scaling.py [reps ...]   (default 17 25 34)
 """
 
+import json
 import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-
-import jax
-import jax.numpy as jnp
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        REPO, ".jax_cache")
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
 sys.path.insert(0, REPO)
 
 from uf3_tpu.data.atoms import bulk  # noqa: E402
 from uf3_tpu.forcefield.md import MDSystem  # noqa: E402
 from uf3_tpu.regression import least_squares as ls  # noqa: E402
 
+OUT = os.path.join(REPO, "benchmarks_data", "artifacts",
+                   "md_scaling.json")
+
 
 def main(reps_list):
     model = ls.WeightedLinearModel.from_json(
         os.path.join(REPO, "benchmarks_data", "model_2and3.json"))
+    results = {"platform": jax.devices()[0].platform,
+               "config": "bench defaults (respa 6/3, rb24, "
+                         "launch_chunks 10)",
+               "sizes": []}
     for reps in reps_list:
         geom = bulk("W", "bcc", a=3.1652) * (reps, reps, reps)
         n = len(geom)
         system = MDSystem(model, geom, dtype=jnp.float32,
-                          rebuild_every=18, skin=0.5, skin_2b=1.2,
-                          capacity_2b=72, capacity_3b=16)
+                          rebuild_every=24, skin=0.5, skin_2b=1.2,
+                          capacity_2b=72, capacity_3b=16,
+                          n_respa=6, respa_mid=3)
         state = system.init_state(temperature=300.0, seed=0)
         state = system.run(state, n_steps=126, dt_fs=2.0,
                            thermostat="langevin", temperature=300.0)
         jax.block_until_ready(state.positions)
         assert not system.overflowed(state)
-        t0 = time.time()
-        n_steps = 108
-        state = system.run(state, n_steps=n_steps, dt_fs=2.0,
-                           thermostat="langevin", temperature=300.0)
+        # warm the exact timed graph, then median of 3 windows
+        state = system.run(state, n_steps=504, dt_fs=2.0,
+                           thermostat="langevin", temperature=300.0,
+                           launch_chunks=10, sync=False)
         jax.block_until_ready(state.positions)
-        dt = time.time() - t0
-        print(f"N={n:6d}: {n * n_steps / dt:.3e} atom-steps/s "
-              f"({dt / n_steps * 1e3:.2f} ms/step)")
+        times = []
+        n_steps = 504
+        for _ in range(3):
+            t0 = time.time()
+            state = system.run(state, n_steps=n_steps, dt_fs=2.0,
+                               thermostat="langevin",
+                               temperature=300.0,
+                               launch_chunks=10, sync=False)
+            jax.block_until_ready(state.positions)
+            times.append(time.time() - t0)
+        dt = sorted(times)[1]
+        row = {"n_atoms": n,
+               "atom_steps_per_s": round(n * n_steps / dt, 1),
+               "ms_per_step": round(dt / n_steps * 1e3, 3),
+               "overflow": bool(system.overflowed(state)),
+               "stale": bool(state.stale)}
+        results["sizes"].append(row)
+        print(row, flush=True)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -74,7 +74,7 @@ def main():
     ref = None
     for role in ("gather", "concat"):
         for red in ("matmul", "slices"):
-            for ba in (256, 1024):
+            for ba in (256,):  # ba=1024 compiles >40 min; skipped
                 name = f"{role}_{red}_ba{ba}"
                 try:
                     def fused(c0, role=role, red=red, ba=ba):

@@ -42,9 +42,14 @@ def main():
     geom = bulk("W", "bcc", a=3.1652) * (17, 17, 17)
     n = len(geom)
     results = {"n_atoms": n, "platform": jax.devices()[0].platform}
+    if os.path.exists(OUT):   # merge into the existing sweep artifact
+        with open(OUT) as f:
+            results.update(json.load(f))
 
-    for n_respa, rb, mid in ((6, 24, 1), (6, 24, 2), (6, 24, 3),
-                             (6, 36, 2)):
+    configs = [tuple(int(x) for x in a.split(":"))
+               for a in sys.argv[1:]] or \
+        [(6, 24, 1), (6, 24, 2), (6, 24, 3), (6, 36, 2)]
+    for n_respa, rb, mid in configs:
         key = f"respa{n_respa}_rb{rb}_mid{mid}"
         system = MDSystem(model, geom, dtype=jnp.float32,
                           rebuild_every=rb, skin=0.5, skin_2b=1.2,
