@@ -86,7 +86,7 @@ def cmd_md(model_path: str, args) -> None:
     atoms = bulk(element, "bcc", a=args.lattice) * args.reps
     print(f"{len(atoms)} atoms of {element}")
     system = MDSystem(model, atoms, dtype=jnp.float32,
-                      n_respa=args.respa)
+                      n_respa=args.respa, respa_mid=args.respa_mid)
     state = system.init_state(temperature=args.temperature)
     callback = None
     if args.traj:
@@ -131,6 +131,9 @@ def main() -> None:
     p_md.add_argument("--respa", type=int, default=1,
                       help="r-RESPA inner steps per outer step "
                            "(1 = plain velocity Verlet)")
+    p_md.add_argument("--respa-mid", type=int, default=1,
+                      help="3-level r-RESPA: inner steps per mid "
+                           "(3-body force) step; must divide --respa")
     p_md.add_argument("--traj", default=None,
                       help="write an extended-xyz trajectory (one "
                            "frame per chunk) to this path")

@@ -58,7 +58,8 @@ class MDSystem:
                  respa_switch: tuple = None,
                  fused: str = "shared",
                  trio_triangle: bool = False,
-                 pallas_inner: bool = False):
+                 pallas_inner: bool = False,
+                 masses: np.ndarray = None):
         self.params, self.static = pot.build_potential(model, dtype=dtype)
         from uf3_tpu.ops import pallas_trio as pt
         self.trio_bundle = pt.build_trio_pallas(model, dtype=dtype)
@@ -166,8 +167,13 @@ class MDSystem:
         self.atomic_numbers = np.asarray(numbers)
         self.species = jnp.asarray(
             np.asarray(self.params.z_to_species)[numbers])
-        self.masses = jnp.asarray(elements.atomic_masses[numbers],
-                                  dtype=dtype)
+        # per-atom mass override (e.g. effectively-infinite masses pin
+        # a group in place -- the two-phase melting protocol's frozen
+        # half, LAMMPS `fix npt right` leaving `left` unintegrated in
+        # /root/reference/supplement/melting_point/melting_uf.in)
+        self.masses = jnp.asarray(
+            elements.atomic_masses[numbers] if masses is None
+            else masses, dtype=dtype)
         self.cell = jnp.asarray(atoms.get_cell(), dtype=dtype)
         self.pbc = tuple(bool(p) for p in atoms.get_pbc())
         self.volume = atoms.get_volume() if np.any(atoms.get_pbc()) else None
@@ -530,8 +536,16 @@ class MDSystem:
         trigger2 = nb.needs_rebuild(state.nbr2, state.positions,
                                     0.5 * self.skin_2b)
         if self.two_tier:
+            # refresh the (cheap) 3-body refilter at 0.4x skin, not
+            # 0.5x: the staleness flag trips at 0.5x, and with both
+            # thresholds equal a boundary drift just under the
+            # trigger plus one cycle's tail drift crosses the stale
+            # line (observed as benign-but-ugly stale=True NVT
+            # launches at 10k atoms, validate_respa_mid.json); the
+            # extra 0.05x-skin headroom makes that unreachable for
+            # ballistic + Langevin motion at the bench cadence
             trigger3 = nb.needs_rebuild(state.nbr3, state.positions,
-                                        0.5 * self.skin)
+                                        0.4 * self.skin)
             branch = jnp.where(trigger2, 2,
                                jnp.where(trigger3, 1, 0))
             branches = [_keep, _refilter, _full]
