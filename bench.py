@@ -50,17 +50,18 @@ def main():
     # slots = one 256-lane pair block in the trio kernel) refiltered
     # cheaply from the wide-skin 2-body list, whose full rebuild is
     # rare; capacities validated by the overflow check below
-    # r-RESPA: the smooth 2-body tail (r > 3.0 A) advances on a
-    # 6x outer step, so inner steps touch only the compact 3-body
-    # list (one (N, 16) gather) -- the dominant (N, 72) pair-row
-    # gather runs once per outer cycle.  n_respa=6 / rebuild_every=24
-    # validated on this config: NVE drift 7.2e-5 eV/atom over 672
-    # steps (< the 2e-4 test criterion) with no skin staleness
-    # (benchmarks_data/artifacts/validate_respa.json; rb36 trips the
-    # skin and was rejected)
+    # 3-level r-RESPA: the smooth 2-body tail (r > 3.0 A) advances on
+    # a 6x outer step, the 3-body force (map + assembly) on a 3x mid
+    # step, and the innermost step touches only the row-local
+    # switched short pair force on the (N, 16) rows -- the dominant
+    # (N, 72) pair-row gather runs once per outer cycle, the trio map
+    # every 3 steps.  n_respa=6 / respa_mid=3 / rebuild_every=24
+    # validated on this config: NVE drift 5.4e-5 eV/atom over 672
+    # steps (< the 2e-4 test criterion), the BEST of the mid=1/2/3
+    # sweep (benchmarks_data/artifacts/validate_respa_mid.json)
     system = MDSystem(model, geom, dtype=dtype, rebuild_every=24,
                       skin=0.5, skin_2b=1.2, capacity_2b=72,
-                      capacity_3b=16, n_respa=6)
+                      capacity_3b=16, n_respa=6, respa_mid=3)
     state = system.init_state(temperature=300.0, seed=0)
     # warm up: compile + equilibrate past the thermalization transient
     # (rebuild cadence during the first ~100 steps is atypical; the

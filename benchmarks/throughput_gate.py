@@ -50,10 +50,10 @@ from uf3_tpu.regression import least_squares as ls  # noqa: E402
 # committed floor for the headline metric on a single v5e chip --
 # ratcheted to just under the current measured number every time the
 # bench improves, so a ~15% regression fails the gate (VERDICT r3
-# item 3).  Round-4 bench defaults (n_respa=6, rebuild_every=24,
-# validated in validate_respa.json) measured ~5.1e6 in
-# ab_sweep2.json.
-THRESHOLD_ATOM_STEPS = 4.6e6
+# item 3).  Round-4 bench defaults (n_respa=6, respa_mid=3,
+# rebuild_every=24, validated in validate_respa_mid.json) measured
+# 8.15e6 (bench_abda35f.json) / 8.04e6 (bench.py median).
+THRESHOLD_ATOM_STEPS = 7.4e6
 
 
 def timeit_ms(fn, *args, iters=30, warmup=2):
@@ -81,7 +81,7 @@ def main():
     dtype = jnp.float32 if platform != "cpu" else jnp.float64
     system = MDSystem(model, geom, dtype=dtype, rebuild_every=24,
                       skin=0.5, skin_2b=1.2, capacity_2b=72,
-                      capacity_3b=16, n_respa=6)
+                      capacity_3b=16, n_respa=6, respa_mid=3)
     state = system.init_state(temperature=300.0, seed=0)
     state = system.run(state, n_steps=126, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0)
