@@ -142,6 +142,97 @@ def test_halo_trajectory_matches_single_device(setup, mesh4):
     assert np.max(np.abs(v_h - np.asarray(v))) < 1e-11
 
 
+def test_halo_respa_trajectory_matches_single_device(setup, mesh4):
+    """3-level r-RESPA halo chunk vs the same split integrated on the
+    global lists single-device: identical trajectories (validates the
+    per-level halo exchanges and owner weighting, the halo-specific
+    machinery)."""
+    from uf3_tpu.ops import pallas_trio as pt
+    _, geom, system, dec = setup
+    n = len(geom)
+    n_steps, n_respa, respa_mid = 6, 3, 3
+    dt = jnp.asarray(1.0 * units.fs, dtype=jnp.float64)
+    r_hi = float(system.r_cut_3b)
+    r_lo = r_hi - 0.5
+    x = jnp.asarray(halo.gather_positions(dec, dec.x_own, n))
+    rng = np.random.RandomState(12)
+    v0 = rng.normal(scale=5e-4, size=(n, 3))
+    nbr2, nbr3 = system.build_lists(x, wrapped=True)
+    m = system.masses[:, None]
+    spec_pair, pair_coeff = system.pair_fast
+    tb = system.trio_bundle
+
+    def f_short(x):
+        _, f = pt.pair_forces_unrolled(
+            pair_coeff, x, system.cell, nbr3.idx, nbr3.shift,
+            nbr3.mask, spec=spec_pair, n_basis=spec_pair.n_basis,
+            with_energy=False, switch=("short", r_lo, r_hi))
+        return f
+
+    def f_trio(x):
+        _, f = pt.trio_forces_unrolled(
+            tb.grid, x, system.cell, nbr3.idx, nbr3.shift, nbr3.mask,
+            nbr3.rev, spec_l=tb.spec_l, spec_n=tb.spec_n,
+            l_basis=tb.l_basis, n_basis=tb.n_basis,
+            with_energy=False, active_bc=tb.active_bc,
+            window=tb.window, triangle=tb.symmetric)
+        return f
+
+    def f_tail_fn(x):
+        _, f = pt.pair_forces_unrolled(
+            pair_coeff, x, system.cell, nbr2.idx, nbr2.shift,
+            nbr2.mask, spec=spec_pair, n_basis=spec_pair.n_basis,
+            with_energy=False, switch=("tail", r_lo, r_hi))
+        return f
+
+    v = jnp.asarray(v0)
+    fp, fm, ft = f_short(x), f_trio(x), f_tail_fn(x)
+    dt_mid, dt_out = dt * respa_mid, dt * n_respa
+    for _ in range(n_steps // n_respa):
+        v = v + 0.5 * dt_out * ft / m
+        for _ in range(n_respa // respa_mid):
+            v = v + 0.5 * dt_mid * fm / m
+            for _ in range(respa_mid):
+                v = v + 0.5 * dt * fp / m
+                x = x + dt * v
+                fp = f_short(x)
+                v = v + 0.5 * dt * fp / m
+            fm = f_trio(x)
+            v = v + 0.5 * dt_mid * fm / m
+        ft = f_tail_fn(x)
+        v = v + 0.5 * dt_out * ft / m
+
+    chunk, shard = halo.halo_md_step_factory(
+        system, mesh4, n_steps=n_steps, n_respa=n_respa,
+        respa_mid=respa_mid)
+    x_own, v_own, _, _, stale = chunk(
+        shard(dec), shard(dec.x_own),
+        shard(halo.scatter_velocities(dec, v0)), dt)
+    assert not bool(stale)
+    x_h = halo.gather_positions(dec, x_own, n)
+    v_h = halo.gather_positions(dec, v_own, n)
+    assert np.max(np.abs(x_h - np.asarray(x))) < 1e-9
+    assert np.max(np.abs(v_h - np.asarray(v))) < 1e-11
+
+
+def test_halo_respa_collectives_stay_halo_sized(setup, mesh4):
+    """The r-RESPA halo chunk also never all-gathers and keeps every
+    collective-permute at (C_halo, 3)."""
+    _, geom, system, dec = setup
+    c_halo = dec.send_left.shape[1]
+    chunk, shard = halo.halo_md_step_factory(
+        system, mesh4, n_steps=6, n_respa=3, respa_mid=3)
+    args = (shard(dec), shard(dec.x_own),
+            shard(np.zeros(dec.x_own.shape)),
+            jnp.asarray(1.0 * units.fs, dtype=jnp.float64))
+    hlo = jax.jit(chunk).lower(*args).compile().as_text()
+    assert "all-gather" not in hlo
+    perm_sizes = _collective_shapes(hlo, "collective-permute")
+    assert perm_sizes
+    for size in perm_sizes:
+        assert size <= c_halo * 3
+
+
 def _collective_shapes(hlo_text, op):
     """All result shapes of a collective op in HLO text, as element
     counts."""

@@ -763,7 +763,7 @@ def _pair_chain(r, spec: LegSpec, coefficients, n_basis: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "n_basis", "with_energy",
-                                    "with_virial"))
+                                    "with_virial", "switch"))
 def pair_forces_unrolled(coefficients,
                          positions, cell, nbr_idx, nbr_shift, nbr_mask,
                          spec: LegSpec = None,
@@ -771,7 +771,8 @@ def pair_forces_unrolled(coefficients,
                          with_energy: bool = True,
                          with_virial: bool = False,
                          cache: Optional[ForceCache] = None,
-                         center_weight=None):
+                         center_weight=None,
+                         switch=None):
     """
     Single-pair-type 2-body energy + forces with closed-form interval
     lookup and static coefficient selection: V(r) and dV/dr via the
@@ -782,6 +783,12 @@ def pair_forces_unrolled(coefficients,
     Neighbor positions come in as per-column row takes and every array
     stays (N, K)-shaped per component: materializing (N, K, 3) tensors
     (3 on the minor/lane axis) costs ~2.2x on TPU.
+
+    ``switch=("short" | "tail", r_lo, r_hi)`` restricts the potential
+    to one side of the C^2 quintic r-RESPA partition (S(r) V or
+    (1 - S(r)) V, including the V dS/dr force term), so the halo MD
+    chunk can split inner/outer forces exactly like the single-device
+    engine (pair_short_forces / pair_tail_forces).
 
     Returns (energy_sum, forces (N, 3)).
     """
@@ -808,7 +815,15 @@ def pair_forces_unrolled(coefficients,
         # exactly under psum, halo rows contribute nothing
         valid_f = valid_f * center_weight.astype(dtype)[:, None]
     v_sum, dv_sum = _pair_chain(r, spec, coefficients, n_basis,
-                                with_energy)
+                                with_energy or switch is not None)
+    if switch is not None:
+        side, r_lo, r_hi = switch
+        s, ds = _switch_poly(r, r_lo, r_hi)
+        if side == "short":
+            v_sum, dv_sum = v_sum * s, dv_sum * s + v_sum * ds
+        else:
+            v_sum, dv_sum = (v_sum * (1.0 - s),
+                             dv_sum * (1.0 - s) - v_sum * ds)
     energy = jnp.sum(v_sum * valid_f) if with_energy \
         else jnp.zeros((), dtype=dtype)
     w_pair = 2.0 * dv_sum * valid_f / r

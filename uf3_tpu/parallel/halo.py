@@ -234,7 +234,8 @@ def scatter_velocities(dec: SlabDecomposition, velocities: np.ndarray
 
 
 def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
-                         n_steps: int = 1, with_virial: bool = False):
+                         n_steps: int = 1, with_virial: bool = False,
+                         n_respa: int = 1, respa_mid: int = 1):
     """Halo-exchange twin of `mesh.sharded_md_step_factory` for the
     fused unary fast path: returns ``(chunk, shard)`` where
     ``chunk(dec_device, x_own, v, dt)`` advances ``n_steps`` of
@@ -256,7 +257,29 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
     miss interactions, so the caller must re-``decompose`` from
     gathered positions before trusting further chunks (the same
     contract as MDState.stale on the single-device engine).
+
+    ``n_respa`` / ``respa_mid`` enable the same 3-level r-RESPA force
+    split as the single-device engine (md.py): the smooth 2-body tail
+    on the (L, K2) rows advances on the ``n_respa``x outer step, the
+    3-body force (the only piece needing the reverse halo exchange)
+    on the ``respa_mid``x mid step, and the innermost step computes
+    only the row-local switched short pair force on the (L, K3) rows.
+    Halo positions refresh every inner step (O(halo) ppermutes);
+    requires ``n_steps`` divisible by ``n_respa`` and the system's
+    fused unary fast path.
     """
+    n_respa = int(n_respa)
+    respa_mid = int(respa_mid)
+    if n_respa > 1:
+        if n_steps % n_respa:
+            raise ValueError("n_steps must be a multiple of n_respa")
+        if n_respa % respa_mid:
+            raise ValueError("n_respa must be a multiple of respa_mid")
+        if system.respa_switch is not None:
+            r_lo_s, r_hi_s = system.respa_switch
+        else:
+            r_hi_s = float(system.r_cut_3b)
+            r_lo_s = r_hi_s - 0.5
     if system.pair_fast is None or system.trio_bundle is None:
         raise ValueError("halo MD requires the fused unary fast path "
                          "(2+3-body single-species model)")
@@ -321,6 +344,44 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
             return f_own, energy, virial
         return f_own, energy
 
+    def split_forces(x_local, dec):
+        """(f_ps, f_mid, f_tail) owned-row r-RESPA force partition:
+        switched short pair on the (L, K3) rows (row-local), the
+        3-body force with its reverse halo exchange, and the pair
+        tail on the (L, K2) rows (row-local).  Sums exactly to
+        local_forces' total."""
+        w = dec.center_w[0]
+        c_own = dec.x_own.shape[1]
+        c_halo = dec.send_left.shape[1]
+        _, f_ps = pt.pair_forces_unrolled(
+            pair_coeff, x_local, cell, dec.idx3[0], dec.shift3[0],
+            dec.mask3[0], spec=spec_pair, n_basis=spec_pair.n_basis,
+            with_energy=False, center_weight=w,
+            switch=("short", r_lo_s, r_hi_s))
+        _, f3 = pt.trio_forces_unrolled(
+            tb.grid, x_local, cell, dec.idx3[0], dec.shift3[0],
+            dec.mask3[0], dec.rev3[0], spec_l=tb.spec_l,
+            spec_n=tb.spec_n, l_basis=tb.l_basis, n_basis=tb.n_basis,
+            with_energy=False, active_bc=tb.active_bc,
+            window=tb.window, triangle=tb.symmetric, center_weight=w)
+        f3 = f3.astype(dtype)
+        f_mid = f3[:c_own]
+        back_l = jax.lax.ppermute(f3[c_own:c_own + c_halo],
+                                  axis_name, bwd)
+        back_r = jax.lax.ppermute(f3[c_own + c_halo:],
+                                  axis_name, fwd)
+        f_mid = f_mid.at[dec.send_right[0]].add(
+            jnp.where(dec.send_right_mask[0][:, None], back_l, 0.0))
+        f_mid = f_mid.at[dec.send_left[0]].add(
+            jnp.where(dec.send_left_mask[0][:, None], back_r, 0.0))
+        _, f_tail = pt.pair_forces_unrolled(
+            pair_coeff, x_local, cell, dec.idx2[0], dec.shift2[0],
+            dec.mask2[0], spec=spec_pair, n_basis=spec_pair.n_basis,
+            with_energy=False, center_weight=w,
+            switch=("tail", r_lo_s, r_hi_s))
+        return (f_ps[:c_own].astype(dtype), f_mid,
+                f_tail[:c_own].astype(dtype))
+
     cell = jnp.asarray(np.asarray(system.cell), dtype=dtype)
 
     dec_specs = SlabDecomposition(
@@ -340,20 +401,99 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
         m = dec.masses[0]
         halo_l, halo_r = refresh_halo(x_own, dec)
         x_local = jnp.concatenate([x_own, halo_l, halo_r])
-        f, _ = local_forces(x_local, dec, cell)
 
-        def step(carry, _):
-            x, v, f = carry
-            v = v + 0.5 * dt * f / m
-            x = x + dt * v
+        def local_of(x):
             halo_l, halo_r = refresh_halo(x, dec)
-            x_local = jnp.concatenate([x, halo_l, halo_r])
-            f, _ = local_forces(x_local, dec, cell)
-            v = v + 0.5 * dt * f / m
-            return (x, v, f), None
+            return jnp.concatenate([x, halo_l, halo_r])
 
-        (x_own, v, f), _ = jax.lax.scan(step, (x_own, v, f), None,
-                                        length=n_steps)
+        if n_respa > 1:
+            f_ps, f_mid, f_tail = split_forces(x_local, dec)
+            dt_mid = dt * respa_mid
+            dt_out = dt * n_respa
+            n_midcycles = n_respa // respa_mid
+
+            def inner_body(_, c):
+                x, v, f_ps = c
+                v = v + 0.5 * dt * f_ps / m
+                x = x + dt * v
+                w = dec.center_w[0]
+                _, f_new = pt.pair_forces_unrolled(
+                    pair_coeff, local_of(x), cell, dec.idx3[0],
+                    dec.shift3[0], dec.mask3[0], spec=spec_pair,
+                    n_basis=spec_pair.n_basis, with_energy=False,
+                    center_weight=w,
+                    switch=("short", r_lo_s, r_hi_s))
+                f_new = f_new[:x.shape[0]].astype(dtype)
+                v = v + 0.5 * dt * f_new / m
+                return (x, v, f_new)
+
+            def mid_body(carry, _):
+                x, v, f_ps, f_mid = carry
+                v = v + 0.5 * dt_mid * f_mid / m
+                x, v, f_ps = jax.lax.fori_loop(
+                    0, respa_mid, inner_body, (x, v, f_ps))
+                w = dec.center_w[0]
+                c_own = dec.x_own.shape[1]
+                c_halo = dec.send_left.shape[1]
+                x_local = local_of(x)
+                _, f3 = pt.trio_forces_unrolled(
+                    tb.grid, x_local, cell, dec.idx3[0],
+                    dec.shift3[0], dec.mask3[0], dec.rev3[0],
+                    spec_l=tb.spec_l, spec_n=tb.spec_n,
+                    l_basis=tb.l_basis, n_basis=tb.n_basis,
+                    with_energy=False, active_bc=tb.active_bc,
+                    window=tb.window, triangle=tb.symmetric,
+                    center_weight=w)
+                f3 = f3.astype(dtype)
+                f_mid = f3[:c_own]
+                back_l = jax.lax.ppermute(f3[c_own:c_own + c_halo],
+                                          axis_name, bwd)
+                back_r = jax.lax.ppermute(f3[c_own + c_halo:],
+                                          axis_name, fwd)
+                f_mid = f_mid.at[dec.send_right[0]].add(
+                    jnp.where(dec.send_right_mask[0][:, None],
+                              back_l, 0.0))
+                f_mid = f_mid.at[dec.send_left[0]].add(
+                    jnp.where(dec.send_left_mask[0][:, None],
+                              back_r, 0.0))
+                v = v + 0.5 * dt_mid * f_mid / m
+                return (x, v, f_ps, f_mid), None
+
+            def outer_body(carry, _):
+                x, v, f_ps, f_mid, f_tail = carry
+                v = v + 0.5 * dt_out * f_tail / m
+                (x, v, f_ps, f_mid), _ = jax.lax.scan(
+                    mid_body, (x, v, f_ps, f_mid), None,
+                    length=n_midcycles)
+                w = dec.center_w[0]
+                _, f_tail = pt.pair_forces_unrolled(
+                    pair_coeff, local_of(x), cell, dec.idx2[0],
+                    dec.shift2[0], dec.mask2[0], spec=spec_pair,
+                    n_basis=spec_pair.n_basis, with_energy=False,
+                    center_weight=w,
+                    switch=("tail", r_lo_s, r_hi_s))
+                f_tail = f_tail[:x.shape[0]].astype(dtype)
+                v = v + 0.5 * dt_out * f_tail / m
+                return (x, v, f_ps, f_mid, f_tail), None
+
+            carry = (x_own, v, f_ps, f_mid, f_tail)
+            carry, _ = jax.lax.scan(outer_body, carry, None,
+                                    length=n_steps // n_respa)
+            x_own, v, f_ps, f_mid, f_tail = carry
+            f = f_ps + f_mid + f_tail
+        else:
+            f, _ = local_forces(x_local, dec, cell)
+
+            def step(carry, _):
+                x, v, f = carry
+                v = v + 0.5 * dt * f / m
+                x = x + dt * v
+                f, _ = local_forces(local_of(x), dec, cell)
+                v = v + 0.5 * dt * f / m
+                return (x, v, f), None
+
+            (x_own, v, f), _ = jax.lax.scan(step, (x_own, v, f),
+                                            None, length=n_steps)
         halo_l, halo_r = refresh_halo(x_own, dec)
         x_local = jnp.concatenate([x_own, halo_l, halo_r])
         final = local_forces(x_local, dec, cell, with_energy=True,
