@@ -31,7 +31,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+if __name__ == "__main__" \
+        and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    # re-exec so the persistent compile cache engages before the
+    # sitecustomize jax import; only as a script (importing this
+    # module, e.g. from tests, must not exec over the host process)
     os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
         REPO, ".jax_cache")
     os.environ.setdefault(
