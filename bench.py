@@ -90,6 +90,11 @@ def main():
         jax.block_until_ready(state.positions)
         times.append(time.time() - t0)
     elapsed = sorted(times)[1]
+    # the timed windows run sync=False (queued overflow flags):
+    # resolve them before publishing -- a capacity bust mid-timing
+    # would otherwise print a number from truncated neighbor lists
+    assert not system.overflowed(state), \
+        "neighbor capacity overflow during the timed section"
     atom_steps = n_atoms * window_steps / elapsed
     result = {
         "metric": "atom-steps/s (2+3-body W MD, "

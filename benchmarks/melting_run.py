@@ -62,16 +62,22 @@ OUT = os.path.join(REPO, "benchmarks_data", "artifacts",
 A0 = 3.1652  # bcc W lattice constant of the fitted model
 
 
-def order_profile(positions, cell, n_bins):
+def order_profile(positions, cell, n_bins, reps=None):
     """Per-x-bin Bragg amplitude |S| averaged over the three {110}
-    harmonics of the supercell, from fractional coordinates."""
+    harmonics of the supercell, from fractional coordinates.
+
+    ``reps`` is the number of conventional cells per axis.  Pass the
+    CONSTRUCTION-time value for NPT trajectories: the lattice period
+    count is fixed by construction, and re-deriving it from a
+    thermally-expanded cell flips to the wrong harmonic once linear
+    expansion exceeds half a cell (~1% at 48 reps), collapsing the
+    solid signal."""
     pos = np.asarray(positions, dtype=np.float64)
     cell = np.asarray(cell, dtype=np.float64)
     frac = pos @ np.linalg.inv(cell)
     frac -= np.floor(frac)
-    # supercell Miller indices of the (110)-type bcc peaks: one
-    # lattice period per conventional cell along each axis
-    reps = np.rint(np.linalg.norm(cell, axis=1) / A0).astype(int)
+    if reps is None:
+        reps = np.rint(np.linalg.norm(cell, axis=1) / A0).astype(int)
     hs = [(0, reps[1], reps[2]), (reps[0], 0, reps[2]),
           (reps[0], reps[1], 0)]
     bins = np.clip((frac[:, 0] * n_bins).astype(int), 0, n_bins - 1)
@@ -140,7 +146,8 @@ def run_trial(model, trial_t, reps, n_obs, seed=0, prep_scale=1.0):
                      thermostat="langevin", temperature=trial_t,
                      friction_ps=10.0, on_overflow="regrow",
                      launch_chunks=8)
-    prof0 = order_profile(state.positions, state.cell, n_bins)
+    prof0 = order_profile(state.positions, state.cell, n_bins,
+                          reps=reps)
     log["profile_after_melt"] = [round(p, 3) for p in prof0]
     sf0 = solid_fraction(prof0)
     log["solid_fraction_start"] = sf0
@@ -167,7 +174,8 @@ def run_trial(model, trial_t, reps, n_obs, seed=0, prep_scale=1.0):
         # it stays valid under expansion but not meaningful shrink
         assert float(state.cell[0, 0]) >= 0.99 * reps[0] * A0, \
             "cell shrank below the bin-geometry setup size"
-        prof = order_profile(state.positions, state.cell, n_bins)
+        prof = order_profile(state.positions, state.cell, n_bins,
+                             reps=reps)
         sf_series.append(solid_fraction(prof))
         print(f"  T={trial_t:.0f}: {done} steps, solid fraction "
               f"{sf_series[-1]:.2f}", flush=True)

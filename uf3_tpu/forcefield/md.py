@@ -159,6 +159,11 @@ class MDSystem:
         # opt-in; falls back to the XLA map when the model shape is
         # not eligible (multi-species / non-LINEAR knots)
         self.tri_statics = None
+        if pallas_inner and self.respa_mid > 1:
+            raise ValueError(
+                "pallas_inner is not wired into the 3-level r-RESPA "
+                "path (respa_mid > 1): the fused kernel would be "
+                "built but never used; drop one of the two options")
         if pallas_inner and self.n_respa > 1:
             from uf3_tpu.ops import pallas_tri as ptk
             self.tri_statics = ptk.build_tri_statics(
@@ -465,21 +470,11 @@ class MDSystem:
             with_energy=with_energy, with_virial=with_virial,
             cache2=c2, cache3=c3)
         v = v + 0.5 * dt * forces / m
-        key = state.key
-        xi = state.xi
         n_atoms = x.shape[0]
         dof = 3 * n_atoms - 3
-        if thermostat == "langevin":
-            key, sub = jax.random.split(key)
-            c1 = jnp.exp(-friction * dt)
-            cn = jnp.sqrt((1 - c1 ** 2) * units.kB * temperature / m)
-            v = c1 * v + cn * jax.random.normal(sub, v.shape,
-                                                dtype=v.dtype)
-        elif thermostat == "nose_hoover":
-            ke = 0.5 * jnp.sum(m * v * v)
-            q = dof * units.kB * temperature * tau ** 2
-            xi = xi + dt * (2.0 * ke - dof * units.kB * temperature) / q
-            v = v * jnp.exp(-xi * dt)
+        v, key, xi = self._thermostat_update(
+            v, state.key, state.xi, dt, thermostat, temperature,
+            friction, tau, m, dof)
         if barostat == "scr":
             ke = 0.5 * jnp.sum(m * v * v)
             volume = jnp.abs(jnp.linalg.det(cell))
@@ -739,6 +734,25 @@ class MDSystem:
                                     length=n_chunks - 1)
         return cycle(state, compute_energy)
 
+    def _thermostat_update(self, v, key, xi, dt, thermostat,
+                           temperature, friction, tau, m, dof):
+        """One thermostat application (shared by the plain Verlet and
+        both r-RESPA cycle integrators): Langevin c1/cn kick or
+        Nose-Hoover xi integration; no-op otherwise."""
+        if thermostat == "langevin":
+            key, sub = jax.random.split(key)
+            c1 = jnp.exp(-friction * dt)
+            cn = jnp.sqrt((1 - c1 ** 2) * units.kB * temperature / m)
+            v = c1 * v + cn * jax.random.normal(sub, v.shape,
+                                                dtype=v.dtype)
+        elif thermostat == "nose_hoover":
+            ke = 0.5 * jnp.sum(m * v * v)
+            q = dof * units.kB * temperature * tau ** 2
+            xi = xi + dt * (2.0 * ke
+                            - dof * units.kB * temperature) / q
+            v = v * jnp.exp(-xi * dt)
+        return v, key, xi
+
     def _respa_split_forces(self, state: MDState):
         """(f_short, f_tail) at ``state``'s positions from its lists."""
         from uf3_tpu.ops import pallas_trio as pt
@@ -823,20 +837,9 @@ class MDSystem:
         f_short0, f_tail0 = state.f_short, state.f_tail
 
         def thermostat_fn(v, key, xi):
-            if thermostat == "langevin":
-                key, sub = jax.random.split(key)
-                c1 = jnp.exp(-friction * dt)
-                cn = jnp.sqrt((1 - c1 ** 2) * units.kB * temperature
-                              / m)
-                v = c1 * v + cn * jax.random.normal(sub, v.shape,
-                                                    dtype=v.dtype)
-            elif thermostat == "nose_hoover":
-                ke = 0.5 * jnp.sum(m * v * v)
-                q = dof * units.kB * temperature * tau ** 2
-                xi = xi + dt * (2.0 * ke
-                                - dof * units.kB * temperature) / q
-                v = v * jnp.exp(-xi * dt)
-            return v, key, xi
+            return self._thermostat_update(
+                v, key, xi, dt, thermostat, temperature, friction,
+                tau, m, dof)
 
         def outer_body(carry, _):
             x, v, f_short, f_tail, key, xi, stale = carry
@@ -976,20 +979,9 @@ class MDSystem:
                 cache2=cache2)
 
         def thermostat_fn(v, key, xi):
-            if thermostat == "langevin":
-                key, sub = jax.random.split(key)
-                c1 = jnp.exp(-friction * dt)
-                cn = jnp.sqrt((1 - c1 ** 2) * units.kB * temperature
-                              / m)
-                v = c1 * v + cn * jax.random.normal(sub, v.shape,
-                                                    dtype=v.dtype)
-            elif thermostat == "nose_hoover":
-                ke = 0.5 * jnp.sum(m * v * v)
-                q = dof * units.kB * temperature * tau ** 2
-                xi = xi + dt * (2.0 * ke
-                                - dof * units.kB * temperature) / q
-                v = v * jnp.exp(-xi * dt)
-            return v, key, xi
+            return self._thermostat_update(
+                v, key, xi, dt, thermostat, temperature, friction,
+                tau, m, dof)
 
         def inner_step(x, v, f_ps, key, xi, stale):
             v = v + 0.5 * dt * f_ps / m
@@ -1119,9 +1111,11 @@ class MDSystem:
 
         - "raise": RuntimeError once a queued flag reads True
           (default);
-        - "warn": warnings.warn per detected overflow, keep going
-          (nearest pairs are kept, so truncation errors are bounded
-          but real);
+        - "warn": warnings.warn per detected overflow, keep going.
+          Truncation errors are real, and with the default pack
+          cell-list selection the dropped pairs are NOT guaranteed
+          to be the farthest (stencil-order drops) -- prefer
+          "regrow" when overflow is plausible;
         - "regrow": revert the offending chunk, grow row/bin
           capacities 1.5x (recompiles) and re-run it -- a capacity
           bust mid-run costs one chunk retry instead of corrupt
@@ -1241,10 +1235,11 @@ class MDSystem:
 
     @staticmethod
     def _report_overflow(on_overflow: str):
-        message = ("neighbor capacity exceeded during MD: farthest "
-                   "pairs were dropped at a rebuild; increase "
-                   "capacity_2b/capacity_3b (or use "
-                   "on_overflow='regrow')")
+        message = ("neighbor capacity exceeded during MD: pairs were "
+                   "dropped at a rebuild (farthest-first for the "
+                   "O(N^2) builders; stencil-order for the default "
+                   "pack cell list); increase capacity_2b/capacity_3b "
+                   "(or use on_overflow='regrow')")
         if on_overflow == "warn":
             import warnings
             warnings.warn(message)

@@ -270,6 +270,8 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
     """
     n_respa = int(n_respa)
     respa_mid = int(respa_mid)
+    if respa_mid > 1 and n_respa <= 1:
+        raise ValueError("respa_mid > 1 requires n_respa > 1")
     if n_respa > 1:
         if n_steps % n_respa:
             raise ValueError("n_steps must be a multiple of n_respa")
@@ -344,26 +346,30 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
             return f_own, energy, virial
         return f_own, energy
 
-    def split_forces(x_local, dec):
-        """(f_ps, f_mid, f_tail) owned-row r-RESPA force partition:
-        switched short pair on the (L, K3) rows (row-local), the
-        3-body force with its reverse halo exchange, and the pair
-        tail on the (L, K2) rows (row-local).  Sums exactly to
-        local_forces' total."""
-        w = dec.center_w[0]
+    def short_pair_forces(x_local, dec):
+        """Row-local switched short pair on the (L, K3) rows (owned
+        rows only; halo-center rows are weighted out)."""
         c_own = dec.x_own.shape[1]
-        c_halo = dec.send_left.shape[1]
         _, f_ps = pt.pair_forces_unrolled(
             pair_coeff, x_local, cell, dec.idx3[0], dec.shift3[0],
             dec.mask3[0], spec=spec_pair, n_basis=spec_pair.n_basis,
-            with_energy=False, center_weight=w,
+            with_energy=False, center_weight=dec.center_w[0],
             switch=("short", r_lo_s, r_hi_s))
+        return f_ps[:c_own].astype(dtype)
+
+    def trio_with_exchange(x_local, dec):
+        """3-body force on owned rows + the reverse halo exchange of
+        partials deposited on halo copies (the only r-RESPA level
+        that communicates beyond the position refresh)."""
+        c_own = dec.x_own.shape[1]
+        c_halo = dec.send_left.shape[1]
         _, f3 = pt.trio_forces_unrolled(
             tb.grid, x_local, cell, dec.idx3[0], dec.shift3[0],
             dec.mask3[0], dec.rev3[0], spec_l=tb.spec_l,
             spec_n=tb.spec_n, l_basis=tb.l_basis, n_basis=tb.n_basis,
             with_energy=False, active_bc=tb.active_bc,
-            window=tb.window, triangle=tb.symmetric, center_weight=w)
+            window=tb.window, triangle=tb.symmetric,
+            center_weight=dec.center_w[0])
         f3 = f3.astype(dtype)
         f_mid = f3[:c_own]
         back_l = jax.lax.ppermute(f3[c_own:c_own + c_halo],
@@ -374,13 +380,17 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
             jnp.where(dec.send_right_mask[0][:, None], back_l, 0.0))
         f_mid = f_mid.at[dec.send_left[0]].add(
             jnp.where(dec.send_left_mask[0][:, None], back_r, 0.0))
+        return f_mid
+
+    def tail_pair_forces(x_local, dec):
+        """Row-local pair tail on the (L, K2) rows (owned rows)."""
+        c_own = dec.x_own.shape[1]
         _, f_tail = pt.pair_forces_unrolled(
             pair_coeff, x_local, cell, dec.idx2[0], dec.shift2[0],
             dec.mask2[0], spec=spec_pair, n_basis=spec_pair.n_basis,
-            with_energy=False, center_weight=w,
+            with_energy=False, center_weight=dec.center_w[0],
             switch=("tail", r_lo_s, r_hi_s))
-        return (f_ps[:c_own].astype(dtype), f_mid,
-                f_tail[:c_own].astype(dtype))
+        return f_tail[:c_own].astype(dtype)
 
     cell = jnp.asarray(np.asarray(system.cell), dtype=dtype)
 
@@ -407,79 +417,46 @@ def halo_md_step_factory(system, mesh: Mesh, axis_name: str = "data",
             return jnp.concatenate([x, halo_l, halo_r])
 
         if n_respa > 1:
-            f_ps, f_mid, f_tail = split_forces(x_local, dec)
+            f_ps = short_pair_forces(x_local, dec)
+            f_mid = trio_with_exchange(x_local, dec)
+            f_tail = tail_pair_forces(x_local, dec)
             dt_mid = dt * respa_mid
             dt_out = dt * n_respa
             n_midcycles = n_respa // respa_mid
 
             def inner_body(_, c):
-                x, v, f_ps = c
+                x, v, f_ps, _ = c
                 v = v + 0.5 * dt * f_ps / m
                 x = x + dt * v
-                w = dec.center_w[0]
-                _, f_new = pt.pair_forces_unrolled(
-                    pair_coeff, local_of(x), cell, dec.idx3[0],
-                    dec.shift3[0], dec.mask3[0], spec=spec_pair,
-                    n_basis=spec_pair.n_basis, with_energy=False,
-                    center_weight=w,
-                    switch=("short", r_lo_s, r_hi_s))
-                f_new = f_new[:x.shape[0]].astype(dtype)
-                v = v + 0.5 * dt * f_new / m
-                return (x, v, f_new)
+                x_local = local_of(x)
+                f_ps = short_pair_forces(x_local, dec)
+                v = v + 0.5 * dt * f_ps / m
+                return (x, v, f_ps, x_local)
 
             def mid_body(carry, _):
-                x, v, f_ps, f_mid = carry
+                x, v, f_ps, f_mid, x_local = carry
                 v = v + 0.5 * dt_mid * f_mid / m
-                x, v, f_ps = jax.lax.fori_loop(
-                    0, respa_mid, inner_body, (x, v, f_ps))
-                w = dec.center_w[0]
-                c_own = dec.x_own.shape[1]
-                c_halo = dec.send_left.shape[1]
-                x_local = local_of(x)
-                _, f3 = pt.trio_forces_unrolled(
-                    tb.grid, x_local, cell, dec.idx3[0],
-                    dec.shift3[0], dec.mask3[0], dec.rev3[0],
-                    spec_l=tb.spec_l, spec_n=tb.spec_n,
-                    l_basis=tb.l_basis, n_basis=tb.n_basis,
-                    with_energy=False, active_bc=tb.active_bc,
-                    window=tb.window, triangle=tb.symmetric,
-                    center_weight=w)
-                f3 = f3.astype(dtype)
-                f_mid = f3[:c_own]
-                back_l = jax.lax.ppermute(f3[c_own:c_own + c_halo],
-                                          axis_name, bwd)
-                back_r = jax.lax.ppermute(f3[c_own + c_halo:],
-                                          axis_name, fwd)
-                f_mid = f_mid.at[dec.send_right[0]].add(
-                    jnp.where(dec.send_right_mask[0][:, None],
-                              back_l, 0.0))
-                f_mid = f_mid.at[dec.send_left[0]].add(
-                    jnp.where(dec.send_left_mask[0][:, None],
-                              back_r, 0.0))
+                x, v, f_ps, x_local = jax.lax.fori_loop(
+                    0, respa_mid, inner_body, (x, v, f_ps, x_local))
+                # x_local from the last inner step is current
+                f_mid = trio_with_exchange(x_local, dec)
                 v = v + 0.5 * dt_mid * f_mid / m
-                return (x, v, f_ps, f_mid), None
+                return (x, v, f_ps, f_mid, x_local), None
 
             def outer_body(carry, _):
-                x, v, f_ps, f_mid, f_tail = carry
+                x, v, f_ps, f_mid, f_tail, x_local = carry
                 v = v + 0.5 * dt_out * f_tail / m
-                (x, v, f_ps, f_mid), _ = jax.lax.scan(
-                    mid_body, (x, v, f_ps, f_mid), None,
+                (x, v, f_ps, f_mid, x_local), _ = jax.lax.scan(
+                    mid_body, (x, v, f_ps, f_mid, x_local), None,
                     length=n_midcycles)
-                w = dec.center_w[0]
-                _, f_tail = pt.pair_forces_unrolled(
-                    pair_coeff, local_of(x), cell, dec.idx2[0],
-                    dec.shift2[0], dec.mask2[0], spec=spec_pair,
-                    n_basis=spec_pair.n_basis, with_energy=False,
-                    center_weight=w,
-                    switch=("tail", r_lo_s, r_hi_s))
-                f_tail = f_tail[:x.shape[0]].astype(dtype)
+                f_tail = tail_pair_forces(x_local, dec)
                 v = v + 0.5 * dt_out * f_tail / m
-                return (x, v, f_ps, f_mid, f_tail), None
+                return (x, v, f_ps, f_mid, f_tail, x_local), None
 
-            carry = (x_own, v, f_ps, f_mid, f_tail)
+            carry = (x_own, v, f_ps, f_mid, f_tail, x_local)
             carry, _ = jax.lax.scan(outer_body, carry, None,
                                     length=n_steps // n_respa)
-            x_own, v, f_ps, f_mid, f_tail = carry
+            x_own, v, f_ps, f_mid, f_tail, _ = carry
             f = f_ps + f_mid + f_tail
         else:
             f, _ = local_forces(x_local, dec, cell)
