@@ -51,29 +51,30 @@ def main():
     # cheaply from the wide-skin 2-body list, whose full rebuild is
     # rare; capacities validated by the overflow check below
     # 3-level r-RESPA: the smooth 2-body tail (r > 3.0 A) advances on
-    # a 6x outer step, the 3-body force (map + assembly) on a 3x mid
-    # step, and the innermost step touches only the row-local
+    # a 9x outer step (18 fs), the 3-body force (map + assembly) on a
+    # 3x mid step, and the innermost step touches only the row-local
     # switched short pair force on the (N, 16) rows -- the dominant
     # (N, 72) pair-row gather runs once per outer cycle, the trio map
-    # every 3 steps.  n_respa=6 / respa_mid=3 / rebuild_every=24
-    # validated on this config: NVE drift 5.4e-5 eV/atom over 672
-    # steps (< the 2e-4 test criterion), the BEST of the mid=1/2/3
-    # sweep (benchmarks_data/artifacts/validate_respa_mid.json)
-    system = MDSystem(model, geom, dtype=dtype, rebuild_every=24,
+    # every 3 steps.  n_respa=9 / respa_mid=3 / rebuild_every=27
+    # validated on this config: NVE drift 5.0e-5 eV/atom over 756
+    # steps, the best drift of the whole sweep (12/24/3 is 2% faster
+    # but doubles the drift; benchmarks_data/artifacts/
+    # validate_respa_mid.json)
+    system = MDSystem(model, geom, dtype=dtype, rebuild_every=27,
                       skin=0.5, skin_2b=1.2, capacity_2b=72,
-                      capacity_3b=16, n_respa=6, respa_mid=3)
+                      capacity_3b=16, n_respa=9, respa_mid=3)
     state = system.init_state(temperature=300.0, seed=0)
     # warm up: compile + equilibrate past the thermalization transient
     # (rebuild cadence during the first ~100 steps is atypical; the
     # steady-state cadence is what sustained MD pays)
-    state = system.run(state, n_steps=126, dt_fs=2.0,
+    state = system.run(state, n_steps=135, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0)
     jax.block_until_ready(state.positions)
     assert not system.overflowed(state), "neighbor capacity overflow"
     # one jit launch scans 10 rebuild cycles (180 steps): the host
     # round-trip (~25 ms tunneled) amortizes over the launch instead
     # of every 18-step chunk.  Warm the launch executable first.
-    state = system.run(state, n_steps=180, dt_fs=2.0,
+    state = system.run(state, n_steps=540, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0,
                        launch_chunks=10, sync=False)
     jax.block_until_ready(state.positions)

@@ -50,10 +50,11 @@ from uf3_tpu.regression import least_squares as ls  # noqa: E402
 # committed floor for the headline metric on a single v5e chip --
 # ratcheted to just under the current measured number every time the
 # bench improves, so a ~15% regression fails the gate (VERDICT r3
-# item 3).  Round-4 bench defaults (n_respa=6, respa_mid=3,
-# rebuild_every=24, validated in validate_respa_mid.json) measured
-# 8.15e6 (bench_abda35f.json) / 8.04e6 (bench.py median).
-THRESHOLD_ATOM_STEPS = 7.4e6
+# item 3).  Round-4 bench defaults (n_respa=9, respa_mid=3,
+# rebuild_every=27, validated in validate_respa_mid.json) measured
+# 9.03e6 in the sweep's single NVT window; threshold just under the
+# gate's own median measurement.
+THRESHOLD_ATOM_STEPS = 8.2e6
 
 
 def timeit_ms(fn, *args, iters=30, warmup=2):
@@ -79,18 +80,18 @@ def main():
     geom = bulk("W", "bcc", a=3.1652) * (17, 17, 17)
     n = len(geom)
     dtype = jnp.float32 if platform != "cpu" else jnp.float64
-    system = MDSystem(model, geom, dtype=dtype, rebuild_every=24,
+    system = MDSystem(model, geom, dtype=dtype, rebuild_every=27,
                       skin=0.5, skin_2b=1.2, capacity_2b=72,
-                      capacity_3b=16, n_respa=6, respa_mid=3)
+                      capacity_3b=16, n_respa=9, respa_mid=3)
     state = system.init_state(temperature=300.0, seed=0)
-    state = system.run(state, n_steps=126, dt_fs=2.0,
+    state = system.run(state, n_steps=135, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0)
     jax.block_until_ready(state.positions)
 
     # end-to-end: identical conditions to bench.py's timed section
     # (median of 3 windows of 540 steps, launch_chunks=10, async
     # overflow polling with the synchronous check after timing)
-    state = system.run(state, n_steps=180, dt_fs=2.0,
+    state = system.run(state, n_steps=540, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0,
                        launch_chunks=10, sync=False)
     jax.block_until_ready(state.positions)
@@ -180,8 +181,11 @@ def main():
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "breakdown_ms": {k: round(v, 3)
                          for k, v in breakdown_ms.items()},
-        "config": {"n_atoms": n, "n_respa": 6, "rebuild_every": 24,
-                   "capacity_2b": 72, "capacity_3b": 16},
+        "config": {"n_atoms": n, "n_respa": system.n_respa,
+                   "respa_mid": system.respa_mid,
+                   "rebuild_every": system.rebuild_every,
+                   "capacity_2b": system.capacity_2b,
+                   "capacity_3b": system.capacity_3b},
     }
     out_dir = os.path.join(REPO, "benchmarks_data", "artifacts")
     os.makedirs(out_dir, exist_ok=True)
