@@ -121,8 +121,16 @@ def run_trial(model, trial_t, reps, n_obs, seed=0, prep_scale=1.0):
     log["cell_x_after_equil"] = float(state.cell[0, 0])
 
     # stage 2: freeze the left half (frac_x < 0.5) via effectively
-    # infinite masses, melt the right half at 1.6x trial T (capped),
-    # then re-cool it to trial T
+    # infinite masses, melt the right half at 1.5x trial T (floored
+    # at 5500 K), then re-cool it to trial T.  Both melt and re-cool
+    # run under the SCR barostat: the reference melts under x-coupled
+    # NPT (melting_uf.in `fix npt right ... x 0 0`), and melting at
+    # FIXED volume compresses the nascent liquid until the frozen
+    # template re-seeds the solid (the round-4 prep_failed artifact:
+    # solid fraction ~0.93 everywhere after a 5500 K NVT melt).
+    # Under isotropic scaling the pinned half deforms affinely, which
+    # leaves its fractional coordinates -- and hence the Bragg
+    # diagnostic -- untouched.
     frac_x = (np.asarray(state.positions)
               @ np.linalg.inv(np.asarray(state.cell)))[:, 0] % 1.0
     frozen = frac_x < 0.5
@@ -133,19 +141,25 @@ def run_trial(model, trial_t, reps, n_obs, seed=0, prep_scale=1.0):
     sysz.capacity_3b = sysf.capacity_3b
     sysz._cells_2b = sysf._cells_2b
     sysz._cells_3b = sysf._cells_3b
+    sysz.cell = state.cell
     v = state.velocities.at[jnp.asarray(frozen)].set(0.0)
     state = state._replace(velocities=v)
-    # hot enough to actually liquefy the unpinned half within ~12 ps
+    # hot enough to actually liquefy the unpinned half within ~20 ps
     # regardless of how low the trial temperature is
     melt_t = max(1.5 * trial_t, 5500.0)
-    state = sysz.run(state, n_steps=max(24, int(6000 * prep_scale)), dt_fs=2.0,
-                     thermostat="langevin", temperature=melt_t,
-                     friction_ps=10.0, on_overflow="regrow",
-                     launch_chunks=8)
-    state = sysz.run(state, n_steps=max(24, int(4000 * prep_scale)), dt_fs=2.0,
-                     thermostat="langevin", temperature=trial_t,
-                     friction_ps=10.0, on_overflow="regrow",
-                     launch_chunks=8)
+    state, _ = sysz.npt_run(state,
+                            n_steps=max(32, int(10000 * prep_scale)),
+                            dt_fs=2.0, temperature=melt_t,
+                            pressure=0.0, friction_ps=10.0,
+                            launch_chunks=8)
+    prof_hot = order_profile(state.positions, state.cell, n_bins,
+                             reps=reps)
+    log["profile_hot"] = [round(p, 3) for p in prof_hot]
+    state, _ = sysz.npt_run(state,
+                            n_steps=max(32, int(8000 * prep_scale)),
+                            dt_fs=2.0, temperature=trial_t,
+                            pressure=0.0, friction_ps=10.0,
+                            launch_chunks=8)
     prof0 = order_profile(state.positions, state.cell, n_bins,
                           reps=reps)
     log["profile_after_melt"] = [round(p, 3) for p in prof0]
@@ -194,7 +208,7 @@ def main():
     ap.add_argument("temps", nargs="*", type=float,
                     default=[2500.0, 3500.0])
     ap.add_argument("--reps", nargs=3, type=int, default=[48, 18, 18])
-    ap.add_argument("--obs", type=int, default=24000)
+    ap.add_argument("--obs", type=int, default=48000)
     ap.add_argument("--prep-scale", type=float, default=1.0)
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()

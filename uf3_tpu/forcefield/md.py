@@ -179,6 +179,16 @@ class MDSystem:
         self.masses = jnp.asarray(
             elements.atomic_masses[numbers] if masses is None
             else masses, dtype=dtype)
+        # thermostats and the temperature observable count only MOBILE
+        # degrees of freedom: effectively-infinite masses (the pinning
+        # convention above) carry ~zero kinetic energy, and counting
+        # them would drive Nose-Hoover toward ~2x the target when half
+        # the box is pinned (and misreport T the same way)
+        _m_host = np.asarray(elements.atomic_masses[numbers]
+                             if masses is None else masses)
+        self.n_mobile = int(np.sum(_m_host < 1e9))
+        self.dof = max(1, 3 * self.n_mobile
+                       - (3 if self.n_mobile == len(atoms) else 0))
         self.cell = jnp.asarray(atoms.get_cell(), dtype=dtype)
         self.pbc = tuple(bool(p) for p in atoms.get_pbc())
         self.volume = atoms.get_volume() if np.any(atoms.get_pbc()) else None
@@ -470,8 +480,7 @@ class MDSystem:
             with_energy=with_energy, with_virial=with_virial,
             cache2=c2, cache3=c3)
         v = v + 0.5 * dt * forces / m
-        n_atoms = x.shape[0]
-        dof = 3 * n_atoms - 3
+        dof = self.dof
         v, key, xi = self._thermostat_update(
             v, state.key, state.xi, dt, thermostat, temperature,
             friction, tau, m, dof)
@@ -700,11 +709,16 @@ class MDSystem:
         (~15 MB buffer copy, ~20 us) instead.  Overflow flags from
         every in-launch rebuild are OR-accumulated onto the returned
         lists so asynchronous polling still sees them."""
-        if state.f_short is None or state.f_tail is None:
+        if (state.f_short is None or state.f_tail is None
+                or (self.respa_mid > 1 and state.f_mid is None)):
             # split forces are position-functions only and the entry
             # lists are complete within their cutoffs (skin
             # invariant), so computing them from the entry lists is
-            # exact; chunk boundaries afterwards carry them
+            # exact; chunk boundaries afterwards carry them.  A state
+            # carried over from a 2-level system (f_short/f_tail set,
+            # f_mid absent) must ALSO recompute: its f_short has
+            # different semantics (pair+trio) than the 3-level
+            # pair-only split
             if self.respa_mid > 1:
                 f_ps, f_mid, f_tail = self._respa_split_forces_3l(
                     state)
@@ -809,7 +823,7 @@ class MDSystem:
         tb = self.trio_bundle
         r_lo, r_hi = self.respa_switch
         m = self.masses[:, None]
-        dof = 3 * x.shape[0] - 3
+        dof = self.dof
 
         def short_forces(xx, with_energy=False):
             if self.tri_statics is not None:
@@ -952,7 +966,7 @@ class MDSystem:
         tb = self.trio_bundle
         r_lo, r_hi = self.respa_switch
         m = self.masses[:, None]
-        dof = 3 * x.shape[0] - 3
+        dof = self.dof
 
         def ps_forces(xx, comps=None, with_energy=False):
             return pt.pair_short_forces(
@@ -1367,8 +1381,7 @@ class MDSystem:
     def temperature(self, state: MDState) -> float:
         m = self.masses[:, None]
         ke = 0.5 * jnp.sum(m * state.velocities ** 2)
-        dof = 3 * state.positions.shape[0] - 3
-        return float(2.0 * ke / (dof * units.kB))
+        return float(2.0 * ke / (self.dof * units.kB))
 
     def kinetic_energy(self, state: MDState) -> float:
         m = self.masses[:, None]
