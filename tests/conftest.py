@@ -7,10 +7,18 @@ without TPU hardware.  Must run before jax is imported anywhere.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_ENABLE_X64"] = "1"
+# UF3_TPU_TESTS=1 runs the device-numerics tier (tests/
+# test_tpu_numerics.py, `-m tpu`) on the REAL accelerator: the CPU
+# force and the f64 default are then left alone so f32 TPU numerics
+# are what is under test.
+TPU_TIER = os.environ.get("UF3_TPU_TESTS") == "1"
+
+if not TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_ENABLE_X64"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" not in flags \
+        and not TPU_TIER:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
@@ -18,8 +26,9 @@ if "xla_force_host_platform_device_count" not in flags:
 # JAX_PLATFORMS before user code runs; override via the config API.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -48,6 +57,9 @@ SMOKE_CLASSES = {
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "smoke: fast tier (one golden per layer, < 5 min)")
+    config.addinivalue_line(
+        "markers", "tpu: device-numerics tier (needs a real "
+                   "accelerator; run UF3_TPU_TESTS=1 pytest -m tpu)")
 
 
 def pytest_collection_modifyitems(config, items):

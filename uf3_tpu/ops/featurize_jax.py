@@ -188,7 +188,8 @@ def build_featurize_spec(bspline_config):
 
 
 def host_neighbor_arrays(geom, r_cut: float, capacity: int,
-                         supercell=None, matrix=None):
+                         supercell=None, matrix=None,
+                         with_rev: bool = True):
     """
     Exact (N, K) neighbor arrays (idx, shift, mask, rev) from the
     ghost-atom supercell -- works for arbitrarily small periodic
@@ -196,6 +197,10 @@ def host_neighbor_arrays(geom, r_cut: float, capacity: int,
     slots with distinct shifts).  ``supercell``/``matrix`` accept a
     precomputed ghost supercell and geom-vs-supercell distance matrix
     (the dominant host cost; _measured_neighbors reuses its own).
+    ``with_rev=False`` skips the reverse-slot matching -- its
+    (N, k, k, 3) candidate tensor dominates host prep at 2-body
+    capacities, and only the 3-BODY list's rev is ever consumed by
+    the device featurizers.
     """
     from uf3_tpu.data import geometry as geo
     n_atoms = len(geom)
@@ -231,6 +236,9 @@ def host_neighbor_arrays(geom, r_cut: float, capacity: int,
     idx = np.where(mask, order % n_atoms, self_col).astype(np.int32)
     shift = np.where(mask[:, :, None],
                      image_shift[order // n_atoms], 0.0)
+    if not with_rev:
+        return idx, shift, mask, np.zeros((n_atoms, capacity),
+                                          dtype=np.int32)
     # reverse slots, vectorized: match (index, opposite image); work
     # on count-trimmed views -- at the generous capacities used for
     # shape bucketing the (N, K, K, 3) candidate tensor dominates
@@ -358,27 +366,75 @@ def _bucket_capacity(count: int, granule: int = 8) -> int:
     return max(granule, -(-int(count) // granule) * granule)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "symmetry", "n_cfg",
+                                    "images", "cap2", "cap3", "pbc"))
+def _featurize_bucket_dev(spec: FeaturizeSpec, symmetry: int,
+                          n_cfg: int, images, cap2: int, cap3: int,
+                          pbc, comp_idx, comp_w, positions, cells):
+    """Bucket featurization with ON-DEVICE neighbor construction:
+    the host ships only (positions, cells); the explicit-image
+    builder (exact for small periodic cells) runs inside the same
+    launch as the featurizer.  On a single-core host the numpy
+    supercell + cdist + pack pipeline costs 8-26 ms/config -- the
+    round-4 fit-wallclock bottleneck -- while the device build is
+    O(N^2 M) VPU work amortized across the lax.map.
+
+    Returns (e2, f2, e3c, f3c, overflow[n_cfg]); overflowed configs
+    must be redone at larger capacity (the features are truncated)."""
+    from uf3_tpu.ops import neighbors as nbops
+    l_dim, nc = spec.l_basis, spec.n_basis
+
+    def one(args):
+        pos, cell = args
+        nbr2 = nbops.build_neighbor_list_images(
+            pos, cell, pbc, spec.pair.t_max, cap2, images=images,
+            with_rev=False)
+        nbr3 = nbops.build_neighbor_list_images(
+            pos, cell, pbc, spec.trio_l.t_max, cap3, images=images,
+            with_rev=True)
+        e2, f2, e3, f3 = featurize_device(
+            spec, pos, cell, nbr2.idx, nbr2.shift, nbr2.mask,
+            nbr2.rev, nbr3.idx, nbr3.shift, nbr3.mask, nbr3.rev)
+        n_atoms = pos.shape[0]
+        e3c = _compress_device(e3.reshape(-1), comp_idx, comp_w,
+                               symmetry, l_dim, nc)
+        f3c = _compress_device(f3.reshape(n_atoms, 3, -1), comp_idx,
+                               comp_w, symmetry, l_dim, nc)
+        return e2, f2, e3c, f3c, nbr2.overflow | nbr3.overflow
+
+    return jax.lax.map(one, (positions, cells))
+
+
 def featurize_dataset_device(bspline_config,
                              geometries,
                              energies,
                              forces,
                              dtype=None,
                              progress=None,
-                             batch_size: int = 32):
+                             batch_size: int = 32,
+                             neighbors: str = "device"):
     """
     Device featurization of a dataset into fitting arrays
     (x_e, y_e, x_f, y_f) with per-atom energy normalization, matching
     regression.least_squares.dataframe_to_tuples semantics.
 
-    Configurations are grouped into shape buckets keyed by
-    (n_atoms, capacity_2b, capacity_3b) -- capacities measured per
-    config and rounded up to a granule -- and each bucket is
+    Configurations are grouped into shape buckets and each bucket is
     featurized in one jitted device call (stacked arrays, lax.map
     over configs, on-device 3B compression).  This amortizes both
     compilation and the host<->device transfer latency that dominated
     the per-config path.  Force rows are ordered fx_0..fx_{N-1},
     fy..., fz... per configuration, matching the host featurizer row
     order.
+
+    ``neighbors="device"`` (default) also builds the neighbor lists
+    inside the bucket launch (explicit-image device builder, exact
+    for small cells) at density-estimated capacities -- the host
+    ships only positions + cells.  The numpy supercell/cdist/pack
+    pipeline this replaces cost 8-26 ms/config on this single-core
+    host (the round-4 fit-wallclock bottleneck).  Configs whose
+    estimated capacity overflows are redone through the measured
+    host path ("host": always use that path).
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 \
@@ -389,25 +445,110 @@ def featurize_dataset_device(bspline_config,
     comp_idx, comp_w, symmetry = _compression_arrays(bspline_config,
                                                      dtype)
     n_total = len(geometries)
-    # host pass: neighbor arrays + bucket keys
+    e_vecs = [None] * n_total
+    f_vecs = [None] * n_total
+    done = 0
+    host_entries = []   # (geom, i): measured-capacity host-prep path
+
+    if neighbors == "device":
+        from uf3_tpu.ops import neighbors as nbops
+        buckets = {}
+        for i, geom in enumerate(geometries):
+            n_atoms = len(geom)
+            pbc = tuple(bool(p) for p in geom.get_pbc())
+            cell = np.asarray(geom.get_cell())
+            if not any(pbc):
+                host_entries.append((geom, i))
+                continue
+            req = nbops.images_required(cell, pbc, spec.pair.t_max)
+            images = tuple(max(1, r) if p else 0
+                           for r, p in zip(req, pbc))
+            volume = abs(np.linalg.det(cell))
+            cap2 = _bucket_capacity(nbops.estimate_capacity(
+                n_atoms, volume, spec.pair.t_max))
+            cap3 = _bucket_capacity(nbops.estimate_capacity(
+                n_atoms, volume, spec.trio_l.t_max))
+            buckets.setdefault((n_atoms, images, pbc, cap2, cap3),
+                               []).append((geom, i))
+            if progress is not None:
+                progress(i + 1, 2 * n_total)
+        for (n_atoms, images, pbc, cap2, cap3), entries \
+                in buckets.items():
+            for start in range(0, len(entries), batch_size):
+                chunk = entries[start:start + batch_size]
+                geoms_np = np.stack([np.asarray(g.get_positions())
+                                     for g, _ in chunk])
+                cells_np = np.stack([np.asarray(g.get_cell())
+                                     for g, _ in chunk])
+                # pad remainder chunks up to batch_size by repeating
+                # the first config (results discarded): every bucket
+                # then compiles exactly ONE batch shape -- ~10 s of
+                # XLA compile per distinct shape dwarfs the wasted
+                # device work
+                n_real = len(chunk)
+                if 1 < n_real < batch_size \
+                        and len(entries) > batch_size:
+                    pad_n = batch_size - n_real
+                    geoms_np = np.concatenate(
+                        [geoms_np, np.repeat(geoms_np[:1], pad_n,
+                                             axis=0)])
+                    cells_np = np.concatenate(
+                        [cells_np, np.repeat(cells_np[:1], pad_n,
+                                             axis=0)])
+                e2, f2, e3c, f3c, over = _featurize_bucket_dev(
+                    spec, symmetry, len(geoms_np), images, cap2, cap3,
+                    pbc, comp_idx, comp_w,
+                    jnp.asarray(geoms_np, dtype=dtype),
+                    jnp.asarray(cells_np, dtype=dtype))
+                over = np.asarray(over)
+                e2 = np.asarray(e2)
+                f2 = np.asarray(f2)
+                e3c = np.asarray(e3c)
+                f3c = np.asarray(f3c)
+                for b, (geom, i) in enumerate(chunk):
+                    if over[b]:
+                        # estimated capacity truncated this config:
+                        # redo it at measured capacity
+                        host_entries.append((geom, i))
+                        continue
+                    counts = np.array([n_atoms], dtype=float)
+                    e_vecs[i] = np.concatenate([counts, e2[b],
+                                                e3c[b]])
+                    f_vecs[i] = np.concatenate(
+                        [np.zeros((n_atoms, 3, 1)), f2[b], f3c[b]],
+                        axis=2)
+                    done += 1
+                    if progress is not None:
+                        progress(n_total + done, 2 * n_total)
+    else:
+        host_entries = [(geom, i)
+                        for i, geom in enumerate(geometries)]
+
+    # host-prep path: measured capacities (exact, never truncates)
     prepared = []
-    for i, geom in enumerate(geometries):
+    for geom, i in host_entries:
+        # one supercell + distance matrix at the larger (2-body)
+        # cutoff serves both lists; the 2-body rev is never consumed
+        # by featurize_device, so skip its (N, k, k, 3) matching
+        from uf3_tpu.data import geometry as geo
+        if np.any(geom.get_pbc()):
+            supercell = geo.get_supercell(geom, r_cut=spec.pair.t_max)
+        else:
+            supercell = geom
+        matrix = geo.get_distance_matrix(geom, supercell)
         idx2, shift2, mask2, rev2, cap2 = _measured_neighbors(
-            geom, spec.pair.t_max)
+            geom, spec.pair.t_max, with_rev=False,
+            supercell=supercell, matrix=matrix)
         idx3, shift3, mask3, rev3, cap3 = _measured_neighbors(
-            geom, spec.trio_l.t_max)
+            geom, spec.trio_l.t_max, supercell=supercell,
+            matrix=matrix)
         prepared.append((len(geom), cap2, cap3,
                          (geom, idx2, shift2, mask2, rev2,
                           idx3, shift3, mask3, rev3), i))
-        if progress is not None:
-            progress(i + 1, 2 * n_total)
     buckets = {}
     for n_atoms, cap2, cap3, arrays, i in prepared:
         buckets.setdefault((n_atoms, cap2, cap3),
                            []).append((arrays, i))
-    e_vecs = [None] * n_total
-    f_vecs = [None] * n_total
-    done = 0
     for (n_atoms, cap2, cap3), entries in buckets.items():
         for start in range(0, len(entries), batch_size):
             chunk = entries[start:start + batch_size]
@@ -713,18 +854,24 @@ def featurize_configuration_device_multi(bspline_config, geom,
     return np.concatenate(e_parts), np.concatenate(f_parts, axis=2)
 
 
-def _measured_neighbors(geom, r_cut: float, granule: int = 8):
+def _measured_neighbors(geom, r_cut: float, granule: int = 8,
+                        with_rev: bool = True,
+                        supercell=None, matrix=None):
     """host_neighbor_arrays at a capacity measured from the actual
-    max neighbor count, rounded up to a shape-bucket granule."""
+    max neighbor count, rounded up to a shape-bucket granule.
+    ``supercell``/``matrix`` reuse a larger-cutoff prep (the 3-body
+    supercell is a subset of the 2-body one)."""
     from uf3_tpu.data import geometry as geo
-    n_atoms = len(geom)
-    if np.any(geom.get_pbc()):
-        supercell = geo.get_supercell(geom, r_cut=r_cut)
-    else:
-        supercell = geom
-    matrix = geo.get_distance_matrix(geom, supercell)
+    if supercell is None:
+        if np.any(geom.get_pbc()):
+            supercell = geo.get_supercell(geom, r_cut=r_cut)
+        else:
+            supercell = geom
+    if matrix is None:
+        matrix = geo.get_distance_matrix(geom, supercell)
     counts = ((matrix > 1e-10) & (matrix < r_cut)).sum(axis=1)
     cap = _bucket_capacity(int(counts.max()), granule)
     idx, shift, mask, rev = host_neighbor_arrays(
-        geom, r_cut, cap, supercell=supercell, matrix=matrix)
+        geom, r_cut, cap, supercell=supercell, matrix=matrix,
+        with_rev=with_rev)
     return idx, shift, mask, rev, cap
