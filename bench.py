@@ -83,6 +83,7 @@ def main():
     # move the headline by the ~12% seen between round-3 runs
     window_steps = 540
     times = []
+    stale = False
     for _ in range(3):
         t0 = time.time()
         state = system.run(state, n_steps=window_steps, dt_fs=2.0,
@@ -90,6 +91,11 @@ def main():
                            launch_chunks=10, sync=False)
         jax.block_until_ready(state.positions)
         times.append(time.time() - t0)
+        # a stale window means the 3-body skin margin was crossed
+        # mid-cycle (possible missed neighbors): surface it with the
+        # number (throughput_gate.py FAILS on it; probe_stale.json
+        # bounds the force error of one stale launch)
+        stale = stale or bool(state.stale)
     elapsed = sorted(times)[1]
     # the timed windows run sync=False (queued overflow flags):
     # resolve them before publishing -- a capacity bust mid-timing
@@ -103,6 +109,7 @@ def main():
         "value": round(atom_steps, 1),
         "unit": "atom-steps/s",
         "vs_baseline": round(atom_steps / BASELINE_ATOM_STEPS, 3),
+        "stale": stale,
     }
     print(json.dumps(result))
 

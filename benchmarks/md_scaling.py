@@ -3,9 +3,10 @@ MD throughput vs system size on the current accelerator (single chip).
 
 Runs the flagship 2+3-body tungsten potential (benchmarks_data/
 model_2and3.json) at three bcc supercell sizes through the production
-cell-list path with the bench defaults (3-level r-RESPA 6/3,
-rebuild_every=24, launch_chunks=10) and records atom-steps/s per size
-in benchmarks_data/artifacts/md_scaling.json.
+cell-list path with the bench defaults (bench.py: 3-level r-RESPA
+9/3, rebuild_every=27, triangle trio kernel, eager 3B refilter,
+launch_chunks=10) and records atom-steps/s per size in
+benchmarks_data/artifacts/md_scaling.json.
 
 Usage: python benchmarks/md_scaling.py [reps ...]   (default 17 25 34)
 """
@@ -40,16 +41,17 @@ def main(reps_list):
     model = ls.WeightedLinearModel.from_json(
         os.path.join(REPO, "benchmarks_data", "model_2and3.json"))
     results = {"platform": jax.devices()[0].platform,
-               "config": "bench defaults (respa 6/3, rb24, "
-                         "launch_chunks 10)",
+               "config": "bench defaults (respa 9/3, rb27, triangle, "
+                         "eager refilter, launch_chunks 10)",
                "sizes": []}
     for reps in reps_list:
         geom = bulk("W", "bcc", a=3.1652) * (reps, reps, reps)
         n = len(geom)
         system = MDSystem(model, geom, dtype=jnp.float32,
-                          rebuild_every=24, skin=0.5, skin_2b=1.2,
+                          rebuild_every=27, skin=0.5, skin_2b=1.2,
                           capacity_2b=72, capacity_3b=16,
-                          n_respa=6, respa_mid=3)
+                          n_respa=9, respa_mid=3,
+                          trio_triangle=True)
         state = system.init_state(temperature=300.0, seed=0)
         state = system.run(state, n_steps=126, dt_fs=2.0,
                            thermostat="langevin", temperature=300.0)

@@ -1,0 +1,162 @@
+"""
+Weak-scaling model for the halo-exchange multi-chip MD path: replaces
+the bare "per-chip requirement exceeded" claim (VERDICT r4 item 8)
+with a committed comm-vs-compute budget.
+
+Inputs:
+  * decomposition geometry from `parallel.halo.decompose` at the
+    v5e-8 weak-scaled workload (each chip owns the 9,826-atom bench
+    slab; the global box stacks 8 of them along z) -- gives the
+    actual C_halo slot counts, hence ppermute payload bytes;
+  * ppermute counts per step from the halo chunk structure (pinned
+    by tests/test_halo.py's HLO audit): 2 position permutes per
+    INNER step + 2 force-partial permutes per MID step;
+  * per-step compute from the measured single-chip anatomy
+    (benchmarks_data/artifacts/anatomy_3l.json e2e ms/step);
+  * ICI assumptions stated explicitly below.
+
+Also, when run on a real accelerator, measures the halo chunk's
+single-chip machinery overhead (mesh of 1: permutes degenerate to
+copies, the padding/masking/owner-weighting costs remain) vs the
+plain single-device engine.
+
+Writes benchmarks_data/artifacts/multichip_model.json.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        REPO, ".jax_cache")
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, REPO)
+
+from uf3_tpu.data.atoms import bulk  # noqa: E402
+from uf3_tpu.parallel import halo  # noqa: E402
+
+OUT = os.path.join(REPO, "benchmarks_data", "artifacts",
+                   "multichip_model.json")
+
+# --- stated ICI assumptions (v5e, 2D torus; per-link, per-direction)
+ICI_GBPS = 45.0          # GB/s per link per direction (v5e class)
+PERMUTE_LATENCY_US = 3.0  # per ppermute round, small-message floor
+
+
+def comm_model(n_chips: int, reps=(17, 17, 17)):
+    """Weak scaling: each chip owns one bench slab; the global box
+    stacks n_chips slabs along z."""
+    geom = bulk("W", "bcc", a=3.1652) * (reps[0], reps[1],
+                                         reps[2] * n_chips)
+    cell = np.asarray(geom.get_cell())
+    dec = halo.decompose(geom.get_positions(), cell, n_chips,
+                         r_cut_2b=5.5, r_cut_3b=3.5, skin=1.2,
+                         capacity_2b=72, capacity_3b=16)
+    c_own = dec.x_own.shape[1]
+    c_halo = dec.send_left.shape[1]
+    n_own = int(dec.own_mask.sum(axis=1).max())
+    # per INNER step: 2 position ppermutes of (C_halo, 3) f32;
+    # per MID step (every respa_mid inner steps): 2 force-partial
+    # ppermutes of the same shape (test_halo.py HLO audit)
+    bytes_pos = 2 * c_halo * 3 * 4
+    bytes_force = 2 * c_halo * 3 * 4
+    respa_mid = 3
+    bytes_per_step = bytes_pos + bytes_force / respa_mid
+    permutes_per_step = 2 + 2 / respa_mid
+    t_comm_us = (bytes_per_step / (ICI_GBPS * 1e3)
+                 + permutes_per_step * PERMUTE_LATENCY_US)
+    return {"n_chips": n_chips, "atoms_per_chip": n_own,
+            "c_own": c_own, "c_halo": c_halo,
+            "halo_bytes_per_step": int(bytes_per_step),
+            "ppermutes_per_step": round(permutes_per_step, 2),
+            "t_comm_us_per_step": round(t_comm_us, 2)}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    result = {"assumptions": {
+        "ici_gb_per_s_per_link_per_dir": ICI_GBPS,
+        "ppermute_latency_us": PERMUTE_LATENCY_US,
+        "respa": "n_respa=9, respa_mid=3 (bench defaults)",
+    }}
+
+    # measured single-chip step time (anatomy artifact)
+    anat_path = os.path.join(REPO, "benchmarks_data", "artifacts",
+                             "anatomy_3l.json")
+    with open(anat_path) as f:
+        e2e_ms = json.load(f)["e2e_ms_per_step"]
+    result["single_chip_ms_per_step_measured"] = e2e_ms
+
+    rows = []
+    for n_chips in (2, 4, 8):
+        row = comm_model(n_chips)
+        t_comm_ms = row["t_comm_us_per_step"] / 1e3
+        # halo path also computes force rows for halo atoms
+        # (L = c_own + 2*c_halo local rows vs c_own owned): scale the
+        # compute term by the row ratio -- the intrinsic redundancy
+        # of the newton-off halo scheme
+        redundancy = (row["c_own"] + 2 * row["c_halo"]) / row["c_own"]
+        t_step = e2e_ms * redundancy + t_comm_ms
+        eff = e2e_ms / t_step
+        row["compute_redundancy"] = round(redundancy, 3)
+        row["projected_ms_per_step"] = round(t_step, 4)
+        row["projected_efficiency"] = round(eff, 4)
+        row["projected_aggregate_atom_steps_per_s"] = round(
+            n_chips * row["atoms_per_chip"] / (t_step * 1e-3), 0)
+        rows.append(row)
+    result["weak_scaling_projection"] = rows
+
+    # single-chip halo-machinery overhead on the real device (mesh
+    # of 1): ratio of halo-chunk ms/step to the plain engine's
+    if jax.devices()[0].platform != "cpu":
+        import time
+        from uf3_tpu.forcefield.md import MDSystem
+        from uf3_tpu.regression import least_squares as ls
+        model = ls.WeightedLinearModel.from_json(os.path.join(
+            REPO, "benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * (17, 17, 17)
+        system = MDSystem(model, geom, dtype=jnp.float32,
+                          rebuild_every=27, skin=0.5, skin_2b=1.2,
+                          capacity_2b=72, capacity_3b=16,
+                          n_respa=9, respa_mid=3)
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        with mesh:
+            chunk, shard = halo.halo_md_step_factory(
+                system, mesh, n_steps=27, n_respa=9, respa_mid=3)
+            dec = halo.decompose(
+                geom.get_positions(), np.asarray(geom.get_cell()),
+                1, r_cut_2b=5.5, r_cut_3b=3.5, skin=1.2,
+                capacity_2b=72, capacity_3b=16)
+            dec_d = shard(dec)
+            x = shard(dec.x_own)
+            v = shard(np.zeros(dec.x_own.shape))
+            from uf3_tpu.forcefield import units
+            dt = jnp.float32(2.0 * units.fs)
+            out = chunk(dec_d, x, v, dt)
+            jax.block_until_ready(out[0])
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = chunk(dec_d, out[0], out[1], dt)
+            jax.block_until_ready(out[0])
+            halo_ms = (time.perf_counter() - t0) / 5 / 27 * 1e3
+        result["halo_chunk_single_chip_ms_per_step"] = round(
+            halo_ms, 4)
+        result["halo_machinery_overhead_ratio"] = round(
+            halo_ms / e2e_ms, 3)
+    with open(OUT, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

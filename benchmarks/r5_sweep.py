@@ -1,0 +1,117 @@
+"""
+Round-5 single-chip perf sweep at the 9,826-atom bench shape: the
+hoisted-role triangle trio kernel, the 0.6 A 3-body skin (staleness
+margin, see VERDICT r4 weak #2), and the 12/3/36 r-RESPA cadence --
+each measured for NVT throughput, the stale flag over the timed
+window, AND 648-step NVE drift (criterion 2e-4 eV/atom).
+
+Writes benchmarks_data/artifacts/r5_sweep.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        REPO, ".jax_cache")
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, REPO)
+
+from uf3_tpu.data.atoms import bulk  # noqa: E402
+from uf3_tpu.forcefield.md import MDSystem  # noqa: E402
+from uf3_tpu.regression import least_squares as ls  # noqa: E402
+
+OUT = os.path.join(REPO, "benchmarks_data", "artifacts",
+                   "r5_sweep.json")
+
+VARIANTS = {
+    "base_9_3_27": dict(rebuild_every=27, skin=0.5, n_respa=9,
+                        respa_mid=3),
+    "tri": dict(rebuild_every=27, skin=0.5, n_respa=9, respa_mid=3,
+                trio_triangle=True),
+    "skin6": dict(rebuild_every=27, skin=0.6, n_respa=9, respa_mid=3),
+    "tri_skin6": dict(rebuild_every=27, skin=0.6, n_respa=9,
+                      respa_mid=3, trio_triangle=True),
+    "tri_skin6_12_3_36": dict(rebuild_every=36, skin=0.6, n_respa=12,
+                              respa_mid=3, trio_triangle=True),
+    "tri_skin6_12_4_36": dict(rebuild_every=36, skin=0.6, n_respa=12,
+                              respa_mid=4, trio_triangle=True),
+    # eager_refilter defaults True after the round-5 staleness
+    # hardening; these pin the margin-scheme comparison explicitly
+    "tri_eager": dict(rebuild_every=27, skin=0.5, n_respa=9,
+                      respa_mid=3, trio_triangle=True,
+                      eager_refilter=True),
+    "tri_margin": dict(rebuild_every=27, skin=0.5, n_respa=9,
+                       respa_mid=3, trio_triangle=True,
+                       eager_refilter=False),
+    "tri_eager_12_3_36": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                              respa_mid=3, trio_triangle=True,
+                              eager_refilter=True),
+}
+
+
+def run_variant(model, geom, name, kw):
+    n = len(geom)
+    system = MDSystem(model, geom, dtype=jnp.float32, skin_2b=1.2,
+                      capacity_2b=72, capacity_3b=16, **kw)
+    # NVE drift: 648 steps from a 300 K start
+    state = system.init_state(temperature=300.0, seed=0)
+    state = system.run(state, n_steps=108, dt_fs=2.0,
+                       thermostat="langevin", temperature=300.0)
+    e0 = float(state.energy) + system.kinetic_energy(state)
+    state_nve = system.run(state, n_steps=648, dt_fs=2.0)
+    drift = abs(float(state_nve.energy)
+                + system.kinetic_energy(state_nve) - e0) / n
+    # NVT throughput, bench protocol
+    state = system.run(state, n_steps=540, dt_fs=2.0,
+                       thermostat="langevin", temperature=300.0,
+                       launch_chunks=10, sync=False)
+    jax.block_until_ready(state.positions)
+    times = []
+    stale = False
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = system.run(state, n_steps=540, dt_fs=2.0,
+                           thermostat="langevin", temperature=300.0,
+                           launch_chunks=10, sync=False)
+        jax.block_until_ready(state.positions)
+        times.append(time.perf_counter() - t0)
+        stale = stale or bool(state.stale)
+    assert not system.overflowed(state), f"overflow in {name}"
+    rate = n * 540 / sorted(times)[1]
+    return {"atom_steps_per_s": round(rate, 1),
+            "ms_per_step": round(sorted(times)[1] / 540 * 1e3, 4),
+            "nve_drift_ev_per_atom_648": float(f"{drift:.3e}"),
+            "stale_any_timed_window": stale}
+
+
+def main():
+    model = ls.WeightedLinearModel.from_json(
+        os.path.join(REPO, "benchmarks_data", "model_2and3.json"))
+    geom = bulk("W", "bcc", a=3.1652) * (17, 17, 17)
+    names = sys.argv[1:] or list(VARIANTS)
+    results = {"n_atoms": len(geom),
+               "platform": jax.devices()[0].platform, "variants": {}}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results["variants"] = json.load(f).get("variants", {})
+    for name in names:
+        print(f"=== {name} ===", flush=True)
+        results["variants"][name] = run_variant(
+            model, geom, name, VARIANTS[name])
+        print(results["variants"][name], flush=True)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,10 +50,9 @@ from uf3_tpu.regression import least_squares as ls  # noqa: E402
 # committed floor for the headline metric on a single v5e chip --
 # ratcheted to just under the current measured number every time the
 # bench improves, so a ~15% regression fails the gate (VERDICT r3
-# item 3).  Round-4 bench defaults (n_respa=9, respa_mid=3,
-# rebuild_every=27, validated in validate_respa_mid.json) measured
-# 9.03e6 in the sweep's single NVT window; threshold just under the
-# gate's own median measurement.
+# item 3).  RULE: the threshold is only ever set from the LAST
+# COMMITTED gate artifact's own median (bench_<commit>.json), never
+# from a sweep window or a one-off probe (VERDICT r4 item 4).
 THRESHOLD_ATOM_STEPS = 8.2e6
 
 
@@ -97,6 +96,7 @@ def main():
     jax.block_until_ready(state.positions)
     window_steps = 540
     times = []
+    stale = False
     for _ in range(3):
         t0 = time.perf_counter()
         state = system.run(state, n_steps=window_steps, dt_fs=2.0,
@@ -104,6 +104,7 @@ def main():
                            launch_chunks=10, sync=False)
         jax.block_until_ready(state.positions)
         times.append(time.perf_counter() - t0)
+        stale = stale or bool(state.stale)
     best = n * window_steps / sorted(times)[1]
     assert not system.overflowed(state), "capacity overflow in gate"
 
@@ -169,11 +170,15 @@ def main():
         ["git", "status", "--porcelain", "-uno"], cwd=REPO,
         capture_output=True, text=True).stdout.strip())
     gate_on = platform != "cpu" and not args.no_gate
-    passed = best >= THRESHOLD_ATOM_STEPS
+    # stale timed windows fail the gate: throughput measured on a
+    # possibly-incomplete neighbor list is not a publishable number
+    # (VERDICT r4 item 2)
+    passed = best >= THRESHOLD_ATOM_STEPS and not stale
     artifact = {
         "metric": "atom-steps/s (2+3-body W MD, 9826 atoms)",
         "value": round(best, 1),
         "threshold": THRESHOLD_ATOM_STEPS,
+        "stale": stale,
         "passed": passed,
         "gated": gate_on,
         "platform": platform,
@@ -195,9 +200,11 @@ def main():
     print(json.dumps(artifact))
     print(f"artifact: {out_path}", file=sys.stderr)
     if gate_on and not passed:
-        print(f"THROUGHPUT GATE FAILED: {best:.3e} < "
-              f"{THRESHOLD_ATOM_STEPS:.3e} atom-steps/s",
-              file=sys.stderr)
+        reason = (f"stale neighbor lists in a timed window"
+                  if stale else
+                  f"{best:.3e} < {THRESHOLD_ATOM_STEPS:.3e} "
+                  f"atom-steps/s")
+        print(f"THROUGHPUT GATE FAILED: {reason}", file=sys.stderr)
         sys.exit(1)
 
 

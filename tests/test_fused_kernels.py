@@ -181,25 +181,6 @@ class TestTrioKernel:
         assert np.allclose(v_sum, np.asarray(v_all), atol=1e-10)
         assert np.isclose(e_sum, float(jnp.sum(e_all)), atol=1e-10)
 
-    def test_pallas_t_interpret_matches(self, w_model, w_setup):
-        """Atom-minor Mosaic kernel (validated on-device on TPU at
-        dF<1e-3 f32; here the interpret-mode twin at f64)."""
-        from uf3_tpu.ops import pallas_trio_t as ptt
-        geom, params, pos, cell, nbr2, nbr3, e_ref, f_ref = w_setup
-        bundle = pt.build_trio_pallas(w_model, dtype=jnp.float64)
-        e_u, f_u = pt.trio_forces_unrolled(
-            bundle.grid, pos, cell, nbr3.idx, nbr3.shift, nbr3.mask,
-            nbr3.rev, spec_l=bundle.spec_l, spec_n=bundle.spec_n,
-            l_basis=bundle.l_basis, n_basis=bundle.n_basis,
-            block_atoms=64)
-        e_p, f_p = ptt.trio_forces_pallas_t(
-            bundle.grid, pos, cell, nbr3.idx, nbr3.shift, nbr3.mask,
-            nbr3.rev, spec_l=bundle.spec_l, spec_n=bundle.spec_n,
-            l_basis=bundle.l_basis, n_basis=bundle.n_basis,
-            block_atoms=128, interpret=True)
-        assert np.allclose(np.asarray(e_p), np.asarray(e_u), atol=1e-10)
-        assert np.allclose(np.asarray(f_p), np.asarray(f_u), atol=1e-10)
-
     def test_pallas_interpret_matches(self, w_model, w_setup):
         geom, params, pos, cell, nbr2, nbr3, e_ref, f_ref = w_setup
         bundle = pt.build_trio_pallas(w_model, dtype=jnp.float64)

@@ -58,7 +58,7 @@ class MDSystem:
                  respa_switch: tuple = None,
                  fused: str = "shared",
                  trio_triangle: bool = False,
-                 pallas_inner: bool = False,
+                 eager_refilter: bool = True,
                  masses: np.ndarray = None):
         self.params, self.static = pot.build_potential(model, dtype=dtype)
         from uf3_tpu.ops import pallas_trio as pt
@@ -106,6 +106,9 @@ class MDSystem:
         self.two_tier = (self.skin_2b > self.skin
                          and self.degree > 2
                          and self.r_cut_3b <= self.r_cut_2b)
+        # unconditional 3B refilter at every chunk boundary (see
+        # _rebuild_switch): the staleness-hardened default
+        self.eager_refilter = bool(eager_refilter)
         # r-RESPA multiple time stepping: the smooth 2-body tail
         # (r > r_lo, split by a C^2 quintic switch) integrates on the
         # outer step dt * n_respa; the stiff short-range 2-body +
@@ -154,20 +157,15 @@ class MDSystem:
                     f"(got n_respa={self.n_respa}, "
                     f"respa_mid={self.respa_mid})")
         self.respa_switch = respa_switch
-        # fused Mosaic inner-step kernel (triangle-lane trio map +
-        # switched short pair in one VMEM-resident pallas_call):
-        # opt-in; falls back to the XLA map when the model shape is
-        # not eligible (multi-species / non-LINEAR knots)
-        self.tri_statics = None
-        if pallas_inner and self.respa_mid > 1:
-            raise ValueError(
-                "pallas_inner is not wired into the 3-level r-RESPA "
-                "path (respa_mid > 1): the fused kernel would be "
-                "built but never used; drop one of the two options")
-        if pallas_inner and self.n_respa > 1:
-            from uf3_tpu.ops import pallas_tri as ptk
-            self.tri_statics = ptk.build_tri_statics(
-                model, respa_switch, dtype=dtype)
+        # coefficient-selection window for the switched short-range
+        # pair force: S(r) V(r) vanishes for r >= r_hi, so the select
+        # chain stops at interval(r_hi) + 4 basis functions (13 of 18
+        # at the bench model) -- exact, see pallas_trio.basis_window_hi
+        self.n_basis_short = None
+        if self.n_respa > 1 and self.pair_fast is not None:
+            from uf3_tpu.ops import pallas_trio as pt
+            self.n_basis_short = pt.basis_window_hi(
+                self.pair_fast[0], respa_switch[1])
         numbers = atoms.get_atomic_numbers()
         self.atomic_numbers = np.asarray(numbers)
         self.species = jnp.asarray(
@@ -539,15 +537,24 @@ class MDSystem:
 
         trigger2 = nb.needs_rebuild(state.nbr2, state.positions,
                                     0.5 * self.skin_2b)
-        if self.two_tier:
-            # refresh the (cheap) 3-body refilter at 0.4x skin, not
-            # 0.5x: the staleness flag trips at 0.5x, and with both
-            # thresholds equal a boundary drift just under the
-            # trigger plus one cycle's tail drift crosses the stale
-            # line (observed as benign-but-ugly stale=True NVT
-            # launches at 10k atoms, validate_respa_mid.json); the
-            # extra 0.05x-skin headroom makes that unreachable for
-            # ballistic + Langevin motion at the bench cadence
+        if self.two_tier and self.eager_refilter:
+            # UNCONDITIONAL 3-body refilter every chunk boundary: the
+            # refilter is cheap (~1.5 ms at 10k atoms, scan-chained)
+            # and resetting the 3B staleness reference each cycle
+            # makes a stale launch require > skin/2 of drift within
+            # ONE rebuild_every window -- ~4x the 3-sigma ballistic
+            # bound at the bench cadence, vs the razor-thin margin of
+            # the round-4 trigger scheme (stale launches observed at
+            # a ~1/20 rate, probe_stale.json).  Also collapses the
+            # 3-way lax.switch to 2-way (TPU conditionals cost ~ms in
+            # pipeline flushes).
+            branch = jnp.where(trigger2, 1, 0)
+            branches = [_refilter, _full]
+        elif self.two_tier:
+            # legacy margin scheme: refresh the 3-body refilter at
+            # 0.4x skin (staleness trips at 0.5x; the 0.1x-skin gap
+            # covers one cycle's tail drift most of the time but was
+            # measured crossable -- see probe_stale.json)
             trigger3 = nb.needs_rebuild(state.nbr3, state.positions,
                                         0.4 * self.skin)
             branch = jnp.where(trigger2, 2,
@@ -773,20 +780,14 @@ class MDSystem:
         spec_pair, pair_coeff = self.pair_fast
         tb = self.trio_bundle
         r_lo, r_hi = self.respa_switch
-        if self.tri_statics is not None:
-            from uf3_tpu.ops import pallas_tri as ptk
-            _, _, f_short = ptk.trio_short_forces_fused(
-                self.tri_statics, state.positions, state.cell,
-                state.nbr3)
-        else:
-            _, _, f_short = pt.trio_short_forces(
-                pair_coeff, tb.grid, state.positions, state.cell,
-                state.nbr3, spec_pair=spec_pair,
-                n_basis_pair=spec_pair.n_basis, spec_l=tb.spec_l,
-                spec_n=tb.spec_n, l_basis=tb.l_basis,
-                n_basis=tb.n_basis, active_bc=tb.active_bc,
-                window=tb.window, r_lo=r_lo, r_hi=r_hi,
-                triangle=tb.symmetric and self.trio_triangle)
+        _, _, f_short = pt.trio_short_forces(
+            pair_coeff, tb.grid, state.positions, state.cell,
+            state.nbr3, spec_pair=spec_pair,
+            n_basis_pair=self.n_basis_short, spec_l=tb.spec_l,
+            spec_n=tb.spec_n, l_basis=tb.l_basis,
+            n_basis=tb.n_basis, active_bc=tb.active_bc,
+            window=tb.window, r_lo=r_lo, r_hi=r_hi,
+            triangle=tb.symmetric and self.trio_triangle)
         _, f_tail = pt.pair_tail_forces(
             pair_coeff, state.positions, state.cell, state.nbr2,
             spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
@@ -826,14 +827,10 @@ class MDSystem:
         dof = self.dof
 
         def short_forces(xx, with_energy=False):
-            if self.tri_statics is not None:
-                from uf3_tpu.ops import pallas_tri as ptk
-                return ptk.trio_short_forces_fused(
-                    self.tri_statics, xx, cell, nbr3, cache3=cache3,
-                    with_energy=with_energy)
             return pt.trio_short_forces(
                 pair_coeff, tb.grid, xx, cell, nbr3,
-                spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
+                spec_pair=spec_pair,
+                n_basis_pair=self.n_basis_short,
                 spec_l=tb.spec_l, spec_n=tb.spec_n,
                 l_basis=tb.l_basis, n_basis=tb.n_basis,
                 with_energy=with_energy, active_bc=tb.active_bc,
@@ -913,7 +910,7 @@ class MDSystem:
                                      self.dtype)
         _, f_ps, comps = pt.pair_short_forces(
             pair_coeff, state.positions, state.cell, state.nbr3,
-            spec_pair=spec_pair, n_basis_pair=spec_pair.n_basis,
+            spec_pair=spec_pair, n_basis_pair=self.n_basis_short,
             with_energy=False, r_lo=r_lo, r_hi=r_hi, cache3=cache3)
         _, f_mid = pt.trio_forces_unrolled(
             tb.grid, state.positions, state.cell, state.nbr3.idx,
@@ -971,7 +968,7 @@ class MDSystem:
         def ps_forces(xx, comps=None, with_energy=False):
             return pt.pair_short_forces(
                 pair_coeff, xx, cell, nbr3, spec_pair=spec_pair,
-                n_basis_pair=spec_pair.n_basis,
+                n_basis_pair=self.n_basis_short,
                 with_energy=with_energy, r_lo=r_lo, r_hi=r_hi,
                 cache3=cache3, comps=comps)
 

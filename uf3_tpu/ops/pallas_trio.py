@@ -509,6 +509,29 @@ def _tri_reduce_n(t, k: int, n_lanes: int, n_idx):
                    preferred_element_type=t.dtype)
 
 
+def _tri_m_role_t(xt, k: int, lanes: int):
+    """Tensor m-role: (BA, C, K) slot columns -> (BA, C, lanes) with
+    the m-role value constant within each m-run.  ONE concat of
+    static broadcasts for all C columns -- the round-4 triangle
+    kernel lost 3.6x to per-(b, c) role expansion (54 concat chains
+    per block, anatomy_3l.json trio_map_triangle)."""
+    ba, ncol = xt.shape[0], xt.shape[1]
+    parts = [jnp.broadcast_to(xt[:, :, m:m + 1], (ba, ncol, k - 1 - m))
+             for m in range(k - 1)]
+    out = jnp.concatenate(parts, axis=2)
+    pad = lanes - out.shape[2]
+    return jnp.pad(out, ((0, 0), (0, 0), (0, pad))) if pad else out
+
+
+def _tri_n_role_t(xt, k: int, lanes: int):
+    """Tensor n-role: (BA, C, K) -> (BA, C, lanes) with the n-role
+    slices m+1..K-1 per m-run; one concat for all C columns."""
+    parts = [xt[:, :, m + 1:] for m in range(k - 1)]
+    out = jnp.concatenate(parts, axis=2)
+    pad = lanes - out.shape[2]
+    return jnp.pad(out, ((0, 0), (0, 0), (0, pad))) if pad else out
+
+
 def _trio_block_compute_tri(comps, valid, grid,
                             spec_l: LegSpec, spec_n: LegSpec,
                             l_dim: int, nc: int,
@@ -558,29 +581,36 @@ def _trio_block_compute_tri(comps, valid, grid,
                                                            ww * cw)
     h = jnp.dot(a_mat.reshape(ba * k, ww), g_flat,
                 precision=MATMUL_PRECISION,
-                preferred_element_type=dtype).reshape(ba, k, ww, cw)
+                preferred_element_type=dtype).reshape(ba, k, ww * cw)
     h1 = jnp.dot(da_mat.reshape(ba * k, ww), g_flat,
                  precision=MATMUL_PRECISION,
-                 preferred_element_type=dtype).reshape(ba, k, ww, cw)
+                 preferred_element_type=dtype).reshape(ba, k, ww * cw)
+    # hoisted tensor roles: ONE concat for all (b, c) columns of h/h1
+    # (m-role) and for the Ww basis columns of a/da (n-role), instead
+    # of a concat chain per live (b, c) -- the round-4 version spent
+    # 3.6x the whole map's budget on per-column role expansion
+    h_m = _tri_m_role_t(h.transpose(0, 2, 1), k, lanes)
+    h1_m = _tri_m_role_t(h1.transpose(0, 2, 1), k, lanes)
+    a_n = _tri_n_role_t(a_mat.transpose(0, 2, 1), k, lanes)
+    da_n = _tri_n_role_t(da_mat.transpose(0, 2, 1), k, lanes)
     value = jnp.zeros((ba, lanes), dtype=dtype)
     t1 = jnp.zeros((ba, lanes), dtype=dtype)   # g1: d/dr of m-leg
     t2 = jnp.zeros((ba, lanes), dtype=dtype)   # g2: d/dr of n-leg
     t3 = jnp.zeros((ba, lanes), dtype=dtype)   # d/dr of the third leg
     for b_idx, c_list in active_bc:
-        hb = h[:, :, b_idx - w_lo, :]    # (BA, K, Cw)
-        h1b = h1[:, :, b_idx - w_lo, :]
         db = jnp.zeros((ba, lanes), dtype=dtype)
         d1b = jnp.zeros((ba, lanes), dtype=dtype)
         d3b = jnp.zeros((ba, lanes), dtype=dtype)
         for c_idx in c_list:
-            h_bc = _tri_m_role(hb[:, :, c_idx - c_lo], k, lanes)
-            h1_bc = _tri_m_role(h1b[:, :, c_idx - c_lo], k, lanes)
+            col = (b_idx - w_lo) * cw + (c_idx - c_lo)
+            h_bc = h_m[:, col, :]
+            h1_bc = h1_m[:, col, :]
             cp = c_p[:, c_idx - c_lo, :]
             db = db + cp * h_bc
             d1b = d1b + cp * h1_bc
             d3b = d3b + dc_p[:, c_idx - c_lo, :] * h_bc
-        b_val = _tri_n_role(a_mat[:, :, b_idx - w_lo], k, lanes)
-        b_der = _tri_n_role(da_mat[:, :, b_idx - w_lo], k, lanes)
+        b_val = a_n[:, b_idx - w_lo, :]
+        b_der = da_n[:, b_idx - w_lo, :]
         if with_energy:
             value = value + b_val * db
         t1 = t1 + b_val * d1b
@@ -1568,6 +1598,26 @@ def select_minor(comps, sel, k_parent: int):
               jnp.int32, sel.shape + (k_parent,), 2)
           ).astype(comps[0].dtype)
     return tuple(jnp.sum(oh * c[:, None, :], axis=2) for c in comps)
+
+
+def basis_window_hi(spec: LegSpec, r_hi: float) -> int:
+    """Number of pair basis functions with support below ``r_hi``:
+    the short-range switched force S(r) V(r) vanishes identically for
+    r >= r_hi (S = dS = 0), so the coefficient-selection chain can
+    stop at interval(r_hi) + 4 -- e.g. 13 of 18 basis functions at
+    the bench model's r_hi = 3.5 A.  Exact: skipped selects only ever
+    fire on lanes the switch already zeroes."""
+    if spec.kind == LINEAR:
+        u = r_hi
+    elif spec.kind == LAMMPS:
+        u = r_hi * r_hi
+    elif spec.kind == GEOMETRIC:
+        u = np.log(r_hi)
+    else:
+        u = 1.0 / r_hi
+    idx = int(np.clip(np.floor((u - spec.u0) / spec.h), 0,
+                      spec.n_int - 1))
+    return min(spec.n_basis, idx + 4)
 
 
 def _switch_poly(r, r_lo: float, r_hi: float):
