@@ -55,10 +55,13 @@ def comm_model(n_chips: int, reps=(17, 17, 17)):
     stacks n_chips slabs along z."""
     geom = bulk("W", "bcc", a=3.1652) * (reps[0], reps[1],
                                          reps[2] * n_chips)
+    geom.rattle(0.02, seed=1)   # break boundary-image degeneracy
     cell = np.asarray(geom.get_cell())
+    # generous local capacities: only the halo slot counts feed the
+    # comm model, capacities just have to hold the local lists
     dec = halo.decompose(geom.get_positions(), cell, n_chips,
                          r_cut_2b=5.5, r_cut_3b=3.5, skin=1.2,
-                         capacity_2b=72, capacity_3b=16)
+                         capacity_2b=96, capacity_3b=32)
     c_own = dec.x_own.shape[1]
     c_halo = dec.send_left.shape[1]
     n_own = int(dec.own_mask.sum(axis=1).max())
@@ -133,10 +136,11 @@ def main():
         with mesh:
             chunk, shard = halo.halo_md_step_factory(
                 system, mesh, n_steps=27, n_respa=9, respa_mid=3)
+            geom.rattle(0.02, seed=1)
             dec = halo.decompose(
                 geom.get_positions(), np.asarray(geom.get_cell()),
                 1, r_cut_2b=5.5, r_cut_3b=3.5, skin=1.2,
-                capacity_2b=72, capacity_3b=16)
+                capacity_2b=96, capacity_3b=32)
             dec_d = shard(dec)
             x = shard(dec.x_own)
             v = shard(np.zeros(dec.x_own.shape))

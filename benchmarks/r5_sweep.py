@@ -46,16 +46,25 @@ VARIANTS = {
     "tri_skin6_12_4_36": dict(rebuild_every=36, skin=0.6, n_respa=12,
                               respa_mid=4, trio_triangle=True),
     # eager_refilter defaults True after the round-5 staleness
-    # hardening; these pin the margin-scheme comparison explicitly
-    "tri_eager": dict(rebuild_every=27, skin=0.5, n_respa=9,
-                      respa_mid=3, trio_triangle=True,
-                      eager_refilter=True),
-    "tri_margin": dict(rebuild_every=27, skin=0.5, n_respa=9,
-                       respa_mid=3, trio_triangle=True,
-                       eager_refilter=False),
-    "tri_eager_12_3_36": dict(rebuild_every=36, skin=0.5, n_respa=12,
-                              respa_mid=3, trio_triangle=True,
-                              eager_refilter=True),
+    # hardening; these pin the full-layout eager configurations (the
+    # triangle variants above measured SLOWER end-to-end: irregular
+    # lane layouts cost more data movement than the halved math)
+    "eager_9_3_27": dict(rebuild_every=27, skin=0.5, n_respa=9,
+                         respa_mid=3, eager_refilter=True),
+    "margin_9_3_27": dict(rebuild_every=27, skin=0.5, n_respa=9,
+                          respa_mid=3, eager_refilter=False),
+    "eager_12_3_36": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                          respa_mid=3, eager_refilter=True),
+    "eager_12_4_36": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                          respa_mid=4, eager_refilter=True),
+    "eager_18_3_36": dict(rebuild_every=36, skin=0.5, n_respa=18,
+                          respa_mid=3, eager_refilter=True),
+    "eager_12_6_36": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                          respa_mid=6, eager_refilter=True),
+    "eager_18_6_36": dict(rebuild_every=36, skin=0.5, n_respa=18,
+                          respa_mid=6, eager_refilter=True),
+    "eager_16_4_32": dict(rebuild_every=32, skin=0.5, n_respa=16,
+                          respa_mid=4, eager_refilter=True),
 }
 
 

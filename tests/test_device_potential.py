@@ -138,8 +138,16 @@ class TestNeighborList:
         cell = jnp.asarray(geom.cell)
         nbr = nb.build_neighbor_list(pos, cell, geom.pbc, 4.0, 48)
         assert not bool(nb.needs_rebuild(nbr, pos, skin=0.5))
+        # top-2-sum criterion: ONE atom drifting 0.3 cannot close a
+        # 0.5 A pair gap (needs combined approach > skin) ...
         moved = pos.at[0, 0].add(0.3)
-        assert bool(nb.needs_rebuild(nbr, moved, skin=0.5))
+        assert not bool(nb.needs_rebuild(nbr, moved, skin=0.5))
+        # ... but two atoms at 0.3 each can (sum 0.6 > 0.5)
+        moved2 = moved.at[1, 0].add(-0.3)
+        assert bool(nb.needs_rebuild(nbr, moved2, skin=0.5))
+        # and a single atom can when it alone exceeds the whole skin
+        moved3 = pos.at[0, 0].add(0.6)
+        assert bool(nb.needs_rebuild(nbr, moved3, skin=0.5))
 
 
 class TestDevicePotential:

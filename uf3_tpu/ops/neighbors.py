@@ -560,10 +560,19 @@ def wrap_positions(positions, cell, pbc):
 
 
 def needs_rebuild(nbr: NeighborList, positions, skin: float) -> jnp.ndarray:
-    """True when any atom moved more than skin/2 since the last build."""
+    """True when the list may miss an interaction: a pair outside
+    r_cut + skin at build time can only reach r_cut if the two atoms'
+    COMBINED drift exceeds the skin, and for any pair that sum is
+    bounded by the two largest per-atom drifts.  The top-2-sum
+    criterion is therefore sound, while the classic per-atom skin/2
+    test it replaces was ~2x over-conservative for the observed
+    failure mode (one thermal-tail atom): at the bench cadence the
+    single-atom test tripped on launches whose true frozen-list force
+    error measured under 1e-6 eV/A (probe_stale_error.json)."""
     delta = positions - nbr.reference_positions
-    return jnp.any(jnp.sum(delta * delta, axis=-1)
-                   > (0.5 * skin) ** 2)
+    d2 = jnp.sum(delta * delta, axis=-1)
+    top2, _ = jax.lax.top_k(d2, 2)
+    return jnp.sqrt(top2[0]) + jnp.sqrt(top2[1]) > skin
 
 
 def estimate_capacity(n_atoms: int, volume: float, r_cut: float,

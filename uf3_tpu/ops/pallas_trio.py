@@ -330,9 +330,10 @@ def _trio_virial6(comps, wr, t3_flat, r_mn, w=None):
     block reduce -- the domain-decomposition seam: the virial is a sum
     of per-center terms, so owner-weighted shards psum to the exact
     global virial."""
-    k = comps[0].shape[1]
-    diffs = tuple(jnp.tile(dc, (1, k)) - jnp.repeat(dc, k, axis=-1)
-                  for dc in comps)
+    ba, k = comps[0].shape
+    diffs = tuple((jnp.broadcast_to(dc[:, None, :], (ba, k, k))
+                   - jnp.broadcast_to(dc[:, :, None], (ba, k, k))
+                   ).reshape(ba, k * k) for dc in comps)
     g3f = t3_flat / r_mn
     if w is not None:
         wr = wr * w[:, None]
@@ -381,10 +382,13 @@ def _trio_block_compute(comps, valid, grid,
     a_mat, da_mat = _dense_basis(r, valid_f, spec_l,
                                  lo=w_lo, hi=w_hi)      # (BA, K, Ww)
     # neighbor-neighbor legs per component directly on the K*K pair
-    # lane axis (p = m*K + n: value d[n] - d[m])
+    # lane axis (p = m*K + n: value d[n] - d[m]); the role expansions
+    # are broadcast views, not repeats (see h_m below)
     r_mn2 = jnp.zeros((ba, k * k), dtype=dtype)
     for dc in comps:
-        diff_c = jnp.tile(dc, (1, k)) - jnp.repeat(dc, k, axis=-1)
+        diff_c = (jnp.broadcast_to(dc[:, None, :], (ba, k, k))
+                  - jnp.broadcast_to(dc[:, :, None], (ba, k, k))
+                  ).reshape(ba, k * k)
         r_mn2 = r_mn2 + diff_c * diff_c
     r_mn = jnp.sqrt(jnp.where(r_mn2 > 0, r_mn2, 1.0))    # (BA, K*K)
     if pair_pre is None:
@@ -399,33 +403,42 @@ def _trio_block_compute(comps, valid, grid,
     if precision is None:
         precision = MATMUL_PRECISION
     g_flat = grid[w_lo:w_hi, w_lo:w_hi, c_lo:c_hi].reshape(ww, ww * cw)
+    wc = ww * cw
     h = jnp.dot(a_mat.reshape(ba * k, ww), g_flat,
                 precision=precision,
-                preferred_element_type=dtype).reshape(ba, k, ww, cw)
+                preferred_element_type=dtype).reshape(ba, k, wc)
     h1 = jnp.dot(da_mat.reshape(ba * k, ww), g_flat,
                  precision=precision,
-                 preferred_element_type=dtype).reshape(ba, k, ww, cw)
+                 preferred_element_type=dtype).reshape(ba, k, wc)
     # accumulate T[m, n] = sum_bc B[n, b] C[mn, c] H[m, b, c] on the
-    # K*K pair-lane axis: the m-dependent H columns are repeated onto
-    # the pair lanes (blocked repeat), the n-dependent B columns tiled;
-    # the static live-block loop stays in one fused VPU pass per block
+    # K*K pair-lane axis.  The m-role (repeat) and n-role (tile)
+    # expansions are hoisted to ONE broadcast+reshape per tensor --
+    # broadcasts on a new minor axis lower to free layout views,
+    # while the per-(b, c) jnp.repeat calls this replaces moved
+    # (BA, K*K) tensors through memory 54 times per block (~half the
+    # map's round-4 runtime)
+    h_m = jnp.broadcast_to(h.transpose(0, 2, 1)[:, :, :, None],
+                           (ba, wc, k, k)).reshape(ba, wc, k * k)
+    h1_m = jnp.broadcast_to(h1.transpose(0, 2, 1)[:, :, :, None],
+                            (ba, wc, k, k)).reshape(ba, wc, k * k)
+    a_n = jnp.broadcast_to(a_mat.transpose(0, 2, 1)[:, :, None, :],
+                           (ba, ww, k, k)).reshape(ba, ww, k * k)
     value = jnp.zeros((ba, k * k), dtype=dtype)
     t1 = jnp.zeros((ba, k * k), dtype=dtype)
     t3 = jnp.zeros((ba, k * k), dtype=dtype)
     for b_idx, c_list in active_bc:
-        hb = h[:, :, b_idx - w_lo, :]    # (BA, K, Cw) per m
-        h1b = h1[:, :, b_idx - w_lo, :]
         db = jnp.zeros((ba, k * k), dtype=dtype)
         d1b = jnp.zeros((ba, k * k), dtype=dtype)
         d3b = jnp.zeros((ba, k * k), dtype=dtype)
         for c_idx in c_list:
-            h_bc = jnp.repeat(hb[:, :, c_idx - c_lo], k, axis=-1)
-            h1_bc = jnp.repeat(h1b[:, :, c_idx - c_lo], k, axis=-1)
+            col = (b_idx - w_lo) * cw + (c_idx - c_lo)
+            h_bc = h_m[:, col, :]
+            h1_bc = h1_m[:, col, :]
             if with_energy:
                 db = db + c_p[:, c_idx - c_lo, :] * h_bc
             d1b = d1b + c_p[:, c_idx - c_lo, :] * h1_bc
             d3b = d3b + dc_p[:, c_idx - c_lo, :] * h_bc
-        b_col = jnp.tile(a_mat[:, :, b_idx - w_lo], (1, k))  # (BA,K*K)
+        b_col = a_n[:, b_idx - w_lo, :]
         if with_energy:
             value = value + b_col * db
         t1 = t1 + b_col * d1b
