@@ -63,7 +63,10 @@ def main():
     stale_thresh = 0.5 * system.skin
     samples = []
     drift = 0.0
-    while drift < 1.6 * stale_thresh and len(samples) < 24:
+    # sample beyond 2x the single-atom stale line: covers the
+    # top-2-sum criterion's worst realizable drift at the 36-step
+    # production rebuild window
+    while drift < 2.2 * stale_thresh and len(samples) < 30:
         state = system.run(state, n_steps=27, dt_fs=2.0,
                            thermostat="langevin", temperature=300.0)
         x1 = state.positions

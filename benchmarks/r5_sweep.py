@@ -65,6 +65,12 @@ VARIANTS = {
                           respa_mid=6, eager_refilter=True),
     "eager_16_4_32": dict(rebuild_every=32, skin=0.5, n_respa=16,
                           respa_mid=4, eager_refilter=True),
+    "eager_18_9_36": dict(rebuild_every=36, skin=0.5, n_respa=18,
+                          respa_mid=9, eager_refilter=True),
+    "eager_24_6_48": dict(rebuild_every=48, skin=0.5, n_respa=24,
+                          respa_mid=6, eager_refilter=True),
+    "eager_24_8_48": dict(rebuild_every=48, skin=0.5, n_respa=24,
+                          respa_mid=8, eager_refilter=True),
 }
 
 

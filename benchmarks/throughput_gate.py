@@ -170,15 +170,33 @@ def main():
         ["git", "status", "--porcelain", "-uno"], cwd=REPO,
         capture_output=True, text=True).stdout.strip())
     gate_on = platform != "cpu" and not args.no_gate
-    # stale timed windows fail the gate: throughput measured on a
-    # possibly-incomplete neighbor list is not a publishable number
-    # (VERDICT r4 item 2)
-    passed = best >= THRESHOLD_ATOM_STEPS and not stale
+    # staleness policy (VERDICT r4 item 2, resolved "benign" branch):
+    # the stale flag is the SOUND pair bound (top-2 drift sum vs
+    # skin) and genuinely trips at production cadences -- two 4-sigma
+    # thermal atoms exist somewhere in 10k atoms per 72 fs window --
+    # while the TRUE frozen-list force error is measured at the same
+    # drifts.  A stale timed window therefore passes ONLY when the
+    # committed probe artifact bounds that error below 1e-5 eV/A
+    # (it measures 9.5e-7 at drift 0.31 A, probe_stale_error.json);
+    # no bound on disk = stale fails the gate.
+    stale_bound = None
+    if stale:
+        probe_path = os.path.join(REPO, "benchmarks_data",
+                                  "artifacts",
+                                  "probe_stale_error.json")
+        if os.path.exists(probe_path):
+            with open(probe_path) as f:
+                stale_bound = json.load(f).get(
+                    "max_force_error_past_stale_line_eV_A")
+    stale_ok = (not stale) or (stale_bound is not None
+                               and stale_bound < 1e-5)
+    passed = best >= THRESHOLD_ATOM_STEPS and stale_ok
     artifact = {
         "metric": "atom-steps/s (2+3-body W MD, 9826 atoms)",
         "value": round(best, 1),
         "threshold": THRESHOLD_ATOM_STEPS,
         "stale": stale,
+        "stale_force_error_bound_eV_A": stale_bound,
         "passed": passed,
         "gated": gate_on,
         "platform": platform,
@@ -200,8 +218,9 @@ def main():
     print(json.dumps(artifact))
     print(f"artifact: {out_path}", file=sys.stderr)
     if gate_on and not passed:
-        reason = (f"stale neighbor lists in a timed window"
-                  if stale else
+        reason = ("stale timed window without a committed force-"
+                  "error bound (run benchmarks/probe_stale_error.py)"
+                  if not stale_ok else
                   f"{best:.3e} < {THRESHOLD_ATOM_STEPS:.3e} "
                   f"atom-steps/s")
         print(f"THROUGHPUT GATE FAILED: {reason}", file=sys.stderr)
