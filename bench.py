@@ -48,40 +48,42 @@ def main():
     dtype = jnp.float32 if on_tpu else jnp.float64
     # two-tier skins: tight 3-body skin (cutoff 4.0 A -> 16 neighbor
     # slots = one 256-lane pair block in the trio kernel) refiltered
-    # cheaply from the wide-skin 2-body list, whose full rebuild is
-    # rare; capacities validated by the overflow check below
-    # 3-level r-RESPA: the smooth 2-body tail (r > 3.0 A) advances on
-    # a 9x outer step (18 fs), the 3-body force (map + assembly) on a
-    # 3x mid step, and the innermost step touches only the row-local
-    # switched short pair force on the (N, 16) rows -- the dominant
-    # (N, 72) pair-row gather runs once per outer cycle, the trio map
-    # every 3 steps.  n_respa=9 / respa_mid=3 / rebuild_every=27
-    # validated on this config: NVE drift 5.0e-5 eV/atom over 756
-    # steps, the best drift of the whole sweep (12/24/3 is 2% faster
-    # but doubles the drift; benchmarks_data/artifacts/
-    # validate_respa_mid.json)
-    system = MDSystem(model, geom, dtype=dtype, rebuild_every=27,
+    # eagerly (every chunk boundary) from the wide-skin 2-body list,
+    # whose full rebuild is rare; capacities validated by the
+    # overflow check below.
+    # 3-level r-RESPA 12/6/36 with the 1.0-A-wide C^2 switch
+    # (2.5, 3.5): the smooth 2-body tail advances on a 12x outer step
+    # (24 fs), the 3-body force (map + assembly) on a 6x mid step
+    # (12 fs), and the innermost 2 fs step touches only the row-local
+    # switched short pair force on the (N, 16) rows.  Long-horizon
+    # NVE validated: 5,184 steps drift 7.2e-5 eV/atom, bounded shadow
+    # amplitude 9.1e-5, secular heating 4.0e-6 (validate_final_
+    # 12_6_36_lo25.json) -- outer steps of 32/36 fs and the narrow
+    # (3.0, 3.5) switch both measurably resonate (r5_sweep.json,
+    # validate_final_*.json); this cadence is the deepest clean one.
+    system = MDSystem(model, geom, dtype=dtype, rebuild_every=36,
                       skin=0.5, skin_2b=1.2, capacity_2b=72,
-                      capacity_3b=16, n_respa=9, respa_mid=3)
+                      capacity_3b=16, n_respa=12, respa_mid=6,
+                      respa_switch=(2.5, 3.5))
     state = system.init_state(temperature=300.0, seed=0)
     # warm up: compile + equilibrate past the thermalization transient
     # (rebuild cadence during the first ~100 steps is atypical; the
     # steady-state cadence is what sustained MD pays)
-    state = system.run(state, n_steps=135, dt_fs=2.0,
+    state = system.run(state, n_steps=144, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0)
     jax.block_until_ready(state.positions)
     assert not system.overflowed(state), "neighbor capacity overflow"
     # one jit launch scans 10 rebuild cycles (180 steps): the host
     # round-trip (~25 ms tunneled) amortizes over the launch instead
     # of every 18-step chunk.  Warm the launch executable first.
-    state = system.run(state, n_steps=540, dt_fs=2.0,
+    state = system.run(state, n_steps=720, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0,
                        launch_chunks=10, sync=False)
     jax.block_until_ready(state.positions)
     # timed section: median of 3 windows of 540 steps each -- long
     # enough that launch-to-launch variance on a tunneled TPU cannot
     # move the headline by the ~12% seen between round-3 runs
-    window_steps = 540
+    window_steps = 720
     times = []
     stale = False
     for _ in range(3):

@@ -51,9 +51,11 @@ GATHER_NS_PER_ROW = 1.02   # measured r5: anatomy_3l gather_only
 N_ATOMS = 9826
 K3 = 16                    # trio capacity (bench config)
 K2 = 72                    # pair capacity
-N_RESPA = 9                # 3-level r-RESPA: outer (tail) cadence
-RESPA_MID = 3              # trio-map cadence (mid timestep)
-REBUILD_EVERY = 27
+# shipped cadence (bench.py defaults; overridable: budget_step.py
+# [n_respa respa_mid rebuild_every])
+N_RESPA = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+RESPA_MID = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+REBUILD_EVERY = int(sys.argv[3]) if len(sys.argv) > 3 else 36
 
 
 def trio_map_ops(n_atoms, k, n_active_bc, n_b, c_window,
@@ -196,12 +198,13 @@ def main():
 
     # cycle-weighted speed-of-light per STEP for this formulation:
     # inner every step; trio map + assembly every RESPA_MID steps;
-    # tail every N_RESPA steps (triangle kernel assumed: it is the
-    # shipped default as of round 5 if r5_sweep confirms the win)
+    # tail every N_RESPA steps.  FULL 256-lane map: the triangle
+    # layout measured slower end-to-end (r5_sweep.json) and is not
+    # shipped, so its halved op count is quoted but not budgeted.
     sol = budget["speed_of_light_ms"]
     per_step_floor = (
         sol["inner_vpu"] + sol["inner_gather"]
-        + (sol["trio_map_triangle_vpu"] + sol["assembly_gather"])
+        + (sol["trio_map_vpu"] + sol["assembly_gather"])
         / RESPA_MID
         + (sol["tail_vpu"] + sol["tail_gather"]) / N_RESPA)
 
@@ -256,10 +259,13 @@ def main():
             "gather+select bound on (N, 16) rows, the trio map is "
             "VPU-bound (~1.6 Tops/s sustained) at 1/3 cadence, the "
             "tail is gather-bound on (N, 72) rows at 1/9 cadence.  "
-            "Remaining levers: triangle lanes (0.53x map ops, "
-            "shipped round 5), in-VMEM windowed gathers (blocked on "
-            "Mosaic sublane dynamic-gather support), and cadence "
-            "stretching bounded by the 2e-4 eV/atom NVE criterion."),
+            "Remaining levers: in-VMEM windowed gathers (blocked "
+            "on Mosaic sublane dynamic-gather support), further "
+            "cadence stretching (bounded by r-RESPA outer-step "
+            "resonances, validate_final_*.json: 32 fs resonant, "
+            "24 fs clean with the 1.0-A-wide switch), and the "
+            "triangle layout IF its role data movement can be "
+            "hidden (currently loses end-to-end)."),
     }
 
     out_path = os.path.join(REPO, "benchmarks_data", "artifacts",

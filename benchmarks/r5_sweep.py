@@ -71,6 +71,20 @@ VARIANTS = {
                           respa_mid=6, eager_refilter=True),
     "eager_24_8_48": dict(rebuild_every=48, skin=0.5, n_respa=24,
                           respa_mid=8, eager_refilter=True),
+    "eager_10_5_30": dict(rebuild_every=30, skin=0.5, n_respa=10,
+                          respa_mid=5, eager_refilter=True),
+    # wider C^2 switch band (2.5, 3.5): the V dS' term's stiffness
+    # dominated the outer-level shadow energy; width 1.0 A halves the
+    # bounded amplitude vs the (3.0, 3.5) default (validate_final_
+    # 12_6_36_lo25.json: 9.1e-5 vs 2.2e-4 eV/atom)
+    "eager_12_6_36_lo25": dict(rebuild_every=36, skin=0.5,
+                               n_respa=12, respa_mid=6,
+                               respa_switch=(2.5, 3.5),
+                               eager_refilter=True),
+    "eager_18_6_36_lo25": dict(rebuild_every=36, skin=0.5,
+                               n_respa=18, respa_mid=6,
+                               respa_switch=(2.5, 3.5),
+                               eager_refilter=True),
 }
 
 

@@ -79,22 +79,26 @@ def main():
     geom = bulk("W", "bcc", a=3.1652) * (17, 17, 17)
     n = len(geom)
     dtype = jnp.float32 if platform != "cpu" else jnp.float64
-    system = MDSystem(model, geom, dtype=dtype, rebuild_every=27,
+    # bench.py defaults: 3-level r-RESPA 12/6/36, wide (2.5, 3.5)
+    # switch, eager refilter (long-NVE validated,
+    # validate_final_12_6_36_lo25.json)
+    system = MDSystem(model, geom, dtype=dtype, rebuild_every=36,
                       skin=0.5, skin_2b=1.2, capacity_2b=72,
-                      capacity_3b=16, n_respa=9, respa_mid=3)
+                      capacity_3b=16, n_respa=12, respa_mid=6,
+                      respa_switch=(2.5, 3.5))
     state = system.init_state(temperature=300.0, seed=0)
-    state = system.run(state, n_steps=135, dt_fs=2.0,
+    state = system.run(state, n_steps=144, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0)
     jax.block_until_ready(state.positions)
 
     # end-to-end: identical conditions to bench.py's timed section
     # (median of 3 windows of 540 steps, launch_chunks=10, async
     # overflow polling with the synchronous check after timing)
-    state = system.run(state, n_steps=540, dt_fs=2.0,
+    state = system.run(state, n_steps=720, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0,
                        launch_chunks=10, sync=False)
     jax.block_until_ready(state.positions)
-    window_steps = 540
+    window_steps = 720
     times = []
     stale = False
     for _ in range(3):
