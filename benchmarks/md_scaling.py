@@ -41,29 +41,30 @@ def main(reps_list):
     model = ls.WeightedLinearModel.from_json(
         os.path.join(REPO, "benchmarks_data", "model_2and3.json"))
     results = {"platform": jax.devices()[0].platform,
-               "config": "bench defaults (respa 9/3, rb27, triangle, "
-                         "eager refilter, launch_chunks 10)",
+               "config": "bench defaults (respa 12/6/36, switch "
+                         "(2.5, 3.5), eager refilter, "
+                         "launch_chunks 10)",
                "sizes": []}
     for reps in reps_list:
         geom = bulk("W", "bcc", a=3.1652) * (reps, reps, reps)
         n = len(geom)
         system = MDSystem(model, geom, dtype=jnp.float32,
-                          rebuild_every=27, skin=0.5, skin_2b=1.2,
+                          rebuild_every=36, skin=0.5, skin_2b=1.2,
                           capacity_2b=72, capacity_3b=16,
-                          n_respa=9, respa_mid=3,
-                          trio_triangle=True)
+                          n_respa=12, respa_mid=6,
+                          respa_switch=(2.5, 3.5))
         state = system.init_state(temperature=300.0, seed=0)
-        state = system.run(state, n_steps=126, dt_fs=2.0,
+        state = system.run(state, n_steps=144, dt_fs=2.0,
                            thermostat="langevin", temperature=300.0)
         jax.block_until_ready(state.positions)
         assert not system.overflowed(state)
         # warm the exact timed graph, then median of 3 windows
-        state = system.run(state, n_steps=504, dt_fs=2.0,
+        state = system.run(state, n_steps=720, dt_fs=2.0,
                            thermostat="langevin", temperature=300.0,
                            launch_chunks=10, sync=False)
         jax.block_until_ready(state.positions)
         times = []
-        n_steps = 504
+        n_steps = 720
         for _ in range(3):
             t0 = time.time()
             state = system.run(state, n_steps=n_steps, dt_fs=2.0,
