@@ -193,15 +193,29 @@ def run_trial(model, trial_t, reps, n_obs, seed=0, prep_scale=1.0):
     obs_chunk = max(32, min(2000, n_obs))
     t0 = time.perf_counter()
     done = 0
+    from uf3_tpu.data.atoms import Atoms
+    cell_ref = float(state.cell[0, 0])
     while done < n_obs:
         state, _ = sysf.npt_run(state, n_steps=obs_chunk, dt_fs=2.0,
                                 temperature=trial_t, pressure=0.0,
                                 launch_chunks=8)
         done += obs_chunk
-        # static cell-list bin geometry was sized at the 0 K lattice;
-        # it stays valid under expansion but not meaningful shrink
-        assert float(state.cell[0, 0]) >= 0.99 * reps[0] * A0, \
-            "cell shrank below the bin-geometry setup size"
+        # static cell-list bin geometry was sized at construction; it
+        # stays valid under expansion but not meaningful shrink --
+        # when the box densifies (e.g. the solid grows), REBUILD the
+        # system at the current cell instead of trusting shrunken
+        # bins (a bin below r_cut silently misses neighbors)
+        if float(state.cell[0, 0]) < 0.99 * cell_ref:
+            atoms_now = Atoms(
+                numbers=np.asarray(sysf.atomic_numbers),
+                positions=np.asarray(state.positions),
+                cell=np.asarray(state.cell), pbc=True)
+            sysf = MDSystem(model, atoms_now, **kw)
+            state = sysf.init_state(
+                velocities=np.asarray(state.velocities))
+            cell_ref = float(state.cell[0, 0])
+            print(f"  T={trial_t:.0f}: rebuilt bin geometry at "
+                  f"cell_x {cell_ref:.2f} A", flush=True)
         prof = order_profile(state.positions, state.cell, n_bins,
                              reps=reps)
         sf_series.append(solid_fraction(prof))
