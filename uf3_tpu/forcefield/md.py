@@ -187,6 +187,13 @@ class MDSystem:
         self.n_mobile = int(np.sum(_m_host < 1e9))
         self.dof = max(1, 3 * self.n_mobile
                        - (3 if self.n_mobile == len(atoms) else 0))
+        # kinetic-energy mask: a Langevin thermostat equipartitions
+        # kT/2 into EVERY dof regardless of mass, so pinned
+        # (effectively-infinite-mass) atoms carry full kinetic energy
+        # at ~zero velocity; the temperature observable and the
+        # barostat's kinetic pressure must count mobile atoms only
+        self.mobile_mask = (None if self.n_mobile == len(atoms)
+                            else jnp.asarray(_m_host < 1e9))
         self.cell = jnp.asarray(atoms.get_cell(), dtype=dtype)
         self.pbc = tuple(bool(p) for p in atoms.get_pbc())
         self.volume = atoms.get_volume() if np.any(atoms.get_pbc()) else None
@@ -483,7 +490,9 @@ class MDSystem:
             v, state.key, state.xi, dt, thermostat, temperature,
             friction, tau, m, dof)
         if barostat == "scr":
-            ke = 0.5 * jnp.sum(m * v * v)
+            vv = v if self.mobile_mask is None \
+                else v * self.mobile_mask[:, None]
+            ke = 0.5 * jnp.sum(m * vv * vv)
             volume = jnp.abs(jnp.linalg.det(cell))
             p_int = (2.0 * ke - (virial[0, 0] + virial[1, 1]
                                  + virial[2, 2])) / (3.0 * volume)
@@ -1377,7 +1386,9 @@ class MDSystem:
     # -- observables --------------------------------------------------------
     def temperature(self, state: MDState) -> float:
         m = self.masses[:, None]
-        ke = 0.5 * jnp.sum(m * state.velocities ** 2)
+        v = state.velocities if self.mobile_mask is None \
+            else state.velocities * self.mobile_mask[:, None]
+        ke = 0.5 * jnp.sum(m * v ** 2)
         return float(2.0 * ke / (self.dof * units.kB))
 
     def kinetic_energy(self, state: MDState) -> float:
