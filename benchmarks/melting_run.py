@@ -210,9 +210,21 @@ def run_trial(model, trial_t, reps, n_obs, seed=0, prep_scale=1.0):
                 numbers=np.asarray(sysf.atomic_numbers),
                 positions=np.asarray(state.positions),
                 cell=np.asarray(state.cell), pbc=True)
-            sysf = MDSystem(model, atoms_now, **kw)
-            state = sysf.init_state(
-                velocities=np.asarray(state.velocities))
+            # carry the CURRENT (possibly regrown) capacities: the
+            # base kw capacities overflow on the densified liquid
+            kw2 = dict(kw, capacity_2b=sysf.capacity_2b,
+                       capacity_3b=sysf.capacity_3b)
+            vel_now = np.asarray(state.velocities)
+            for _ in range(4):
+                sysf = MDSystem(model, atoms_now, **kw2)
+                try:
+                    state = sysf.init_state(velocities=vel_now)
+                    break
+                except ValueError:
+                    kw2["capacity_2b"] = int(
+                        kw2["capacity_2b"] * 1.3) + 1
+                    kw2["capacity_3b"] = int(
+                        kw2["capacity_3b"] * 1.3) + 1
             cell_ref = float(state.cell[0, 0])
             print(f"  T={trial_t:.0f}: rebuilt bin geometry at "
                   f"cell_x {cell_ref:.2f} A", flush=True)
