@@ -93,12 +93,23 @@ def main():
         "respa": "n_respa=9, respa_mid=3 (bench defaults)",
     }}
 
-    # measured single-chip step time (anatomy artifact)
-    anat_path = os.path.join(REPO, "benchmarks_data", "artifacts",
-                             "anatomy_3l.json")
-    with open(anat_path) as f:
-        e2e_ms = json.load(f)["e2e_ms_per_step"]
-    result["single_chip_ms_per_step_measured"] = e2e_ms
+    # measured single-chip step time: newest committed gate artifact
+    # (falls back to the scan-chained anatomy)
+    import glob
+    gates = sorted(glob.glob(os.path.join(
+        REPO, "benchmarks_data", "artifacts", "bench_*.json")),
+        key=os.path.getmtime)
+    if gates:
+        with open(gates[-1]) as f:
+            g = json.load(f)
+        e2e_ms = g["config"]["n_atoms"] / g["value"] * 1e3
+        result["single_chip_source"] = os.path.basename(gates[-1])
+    else:
+        with open(os.path.join(REPO, "benchmarks_data", "artifacts",
+                               "anatomy_3l.json")) as f:
+            e2e_ms = json.load(f)["e2e_ms_per_step"]
+        result["single_chip_source"] = "anatomy_3l.json"
+    result["single_chip_ms_per_step_measured"] = round(e2e_ms, 4)
 
     rows = []
     for n_chips in (2, 4, 8):

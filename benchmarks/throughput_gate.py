@@ -53,7 +53,7 @@ from uf3_tpu.regression import least_squares as ls  # noqa: E402
 # item 3).  RULE: the threshold is only ever set from the LAST
 # COMMITTED gate artifact's own median (bench_<commit>.json), never
 # from a sweep window or a one-off probe (VERDICT r4 item 4).
-THRESHOLD_ATOM_STEPS = 8.2e6
+THRESHOLD_ATOM_STEPS = 1.10e7  # bench_35abe5f.json: 12.21e6 median
 
 
 def timeit_ms(fn, *args, iters=30, warmup=2):
