@@ -122,7 +122,8 @@ def run_trial(model, trial_t, reps, n_obs, seed=0, prep_scale=1.0):
 
     # stage 2: freeze the left half (frac_x < 0.5) via effectively
     # infinite masses, melt the right half at 1.5x trial T (floored
-    # at 5500 K), then re-cool it to trial T.  Both melt and re-cool
+    # at 8000 K -- see the melt_t comment below), then re-cool it to
+    # trial T.  Both melt and re-cool
     # run under the SCR barostat: the reference melts under x-coupled
     # NPT (melting_uf.in `fix npt right ... x 0 0`), and melting at
     # FIXED volume compresses the nascent liquid until the frozen
