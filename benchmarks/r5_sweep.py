@@ -85,13 +85,36 @@ VARIANTS = {
                                n_respa=18, respa_mid=6,
                                respa_switch=(2.5, 3.5),
                                eager_refilter=True),
+    # -- round-5b: blocked two-stage pack rebuild (now the builder
+    # default) -- re-measure the shipped 12/6/36 cadence, then probe
+    # whether a wider 2-body skin (rarer full rebuilds, costlier tail
+    # gather) or deeper launch chunking still pays once the rebuild
+    # is ~10x cheaper
+    "pack2_12_6_36": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                          respa_mid=6, respa_switch=(2.5, 3.5)),
+    "pack2_sk16_c96": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                           respa_mid=6, respa_switch=(2.5, 3.5),
+                           skin_2b=1.6, capacity_2b=96),
+    "pack2_sk20_c112": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                            respa_mid=6, respa_switch=(2.5, 3.5),
+                            skin_2b=2.0, capacity_2b=112),
+    "pack2_lc20": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                       respa_mid=6, respa_switch=(2.5, 3.5),
+                       launch_chunks=20),
+    "pack2_rb72": dict(rebuild_every=72, skin=0.5, n_respa=12,
+                       respa_mid=6, respa_switch=(2.5, 3.5),
+                       skin_2b=1.6, capacity_2b=96),
 }
 
 
 def run_variant(model, geom, name, kw):
     n = len(geom)
-    system = MDSystem(model, geom, dtype=jnp.float32, skin_2b=1.2,
-                      capacity_2b=72, capacity_3b=16, **kw)
+    kw = dict(kw)
+    launch_chunks = kw.pop("launch_chunks", 10)
+    kw.setdefault("skin_2b", 1.2)
+    kw.setdefault("capacity_2b", 72)
+    system = MDSystem(model, geom, dtype=jnp.float32,
+                      capacity_3b=16, **kw)
     # NVE drift: 648 steps from a 300 K start
     state = system.init_state(temperature=300.0, seed=0)
     state = system.run(state, n_steps=108, dt_fs=2.0,
@@ -103,7 +126,7 @@ def run_variant(model, geom, name, kw):
     # NVT throughput, bench protocol
     state = system.run(state, n_steps=540, dt_fs=2.0,
                        thermostat="langevin", temperature=300.0,
-                       launch_chunks=10, sync=False)
+                       launch_chunks=launch_chunks, sync=False)
     jax.block_until_ready(state.positions)
     times = []
     stale = False
@@ -111,7 +134,7 @@ def run_variant(model, geom, name, kw):
         t0 = time.perf_counter()
         state = system.run(state, n_steps=540, dt_fs=2.0,
                            thermostat="langevin", temperature=300.0,
-                           launch_chunks=10, sync=False)
+                           launch_chunks=launch_chunks, sync=False)
         jax.block_until_ready(state.positions)
         times.append(time.perf_counter() - t0)
         stale = stale or bool(state.stale)

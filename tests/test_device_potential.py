@@ -79,7 +79,7 @@ class TestNeighborList:
                     pairs.add((a, int(idx[a, s])) + tuple(shift[a, s]))
         return pairs
 
-    @pytest.mark.parametrize("selection", ["pack", "topk"])
+    @pytest.mark.parametrize("selection", ["pack", "pack2", "topk"])
     @pytest.mark.parametrize("displace", [False, True])
     def test_cell_list_matches_bruteforce(self, displace, selection):
         # the production MD path (>=512 atoms) uses the packed-key
@@ -116,6 +116,36 @@ class TestNeighborList:
                 bin_capacity=24, with_rev=False, assume_wrapped=True,
                 selection=selection)
             assert self._pair_set(clw) == self._pair_set(refw)
+
+    def test_pack2_bitwise_equals_pack(self):
+        # the two-stage pack must reproduce the single-stage pack
+        # EXACTLY (same stencil-major slot order, same overflow flag),
+        # independent of the lax.map bin-block size
+        geom = bulk("W", "bcc", a=3.16) * (7, 7, 7)
+        geom.rattle(0.15, seed=11)
+        pos = jnp.asarray(np.array(geom.positions))
+        cell = jnp.asarray(geom.cell)
+        r_cut = 4.5
+        grid_shape = nb.grid_shape_for(geom.cell, r_cut, geom.pbc)
+        kw = dict(grid_shape=grid_shape, bin_capacity=24)
+        for cap in (48, 10):     # ample + deliberately overflowing
+            ref = nb.build_neighbor_list_cells(
+                pos, cell, geom.pbc, r_cut, cap, selection="pack",
+                **kw)
+            for bb in (None, 3, 64):
+                got = nb.build_neighbor_list_cells(
+                    pos, cell, geom.pbc, r_cut, cap,
+                    selection="pack2", bin_block=bb, **kw)
+                assert np.array_equal(np.asarray(ref.idx),
+                                      np.asarray(got.idx))
+                assert np.array_equal(np.asarray(ref.shift),
+                                      np.asarray(got.shift))
+                assert np.array_equal(np.asarray(ref.mask),
+                                      np.asarray(got.mask))
+                assert np.array_equal(np.asarray(ref.rev),
+                                      np.asarray(got.rev))
+                assert bool(ref.overflow) == bool(got.overflow)
+            assert bool(ref.overflow) == (cap == 10)
 
     def test_wrap_positions_exact_translation(self):
         geom = bulk("W", "bcc", a=3.16) * 3
