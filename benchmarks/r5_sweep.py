@@ -104,6 +104,14 @@ VARIANTS = {
     "pack2_rb72": dict(rebuild_every=72, skin=0.5, n_respa=12,
                        respa_mid=6, respa_switch=(2.5, 3.5),
                        skin_2b=1.6, capacity_2b=96),
+    # static full rebuild every cycle: no adaptive trigger, no
+    # lax.switch flush; every cycle starts with exact lists
+    "pack2_static": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                         respa_mid=6, respa_switch=(2.5, 3.5),
+                         static_rebuild=True),
+    "pack2_static_lc20": dict(rebuild_every=36, skin=0.5, n_respa=12,
+                              respa_mid=6, respa_switch=(2.5, 3.5),
+                              static_rebuild=True, launch_chunks=20),
 }
 
 

@@ -476,6 +476,33 @@ class TestNPT:
         e1 = float(state.energy) + system.kinetic_energy(state)
         assert abs(e1 - e0) / len(geom) < 2e-4  # eV/atom drift
 
+    def test_static_rebuild_matches_adaptive(self):
+        """static_rebuild=True (unconditional full rebuild each cycle)
+        must follow the adaptive-trigger trajectory: both schedules
+        keep every within-cutoff pair listed, so forces agree up to
+        summation order."""
+        model = ls.WeightedLinearModel.from_json(
+            os.path.join("benchmarks_data", "model_2and3.json"))
+        geom = bulk("W", "bcc", a=3.1652) * (8, 8, 8)
+        kw = dict(dtype=jnp.float64, rebuild_every=12, skin=0.5,
+                  skin_2b=1.2, capacity_2b=72, capacity_3b=16,
+                  n_respa=6, respa_mid=3, respa_switch=(2.5, 3.5))
+        sys_a = MDSystem(model, geom, **kw)
+        sys_s = MDSystem(model, geom, static_rebuild=True, **kw)
+        st_a = sys_a.init_state(temperature=300.0, seed=3)
+        st_s = sys_s.init_state(temperature=300.0, seed=3)
+        st_a = sys_a.run(st_a, n_steps=36, dt_fs=2.0)
+        st_s = sys_s.run(st_s, n_steps=36, dt_fs=2.0)
+        # static rebuild wraps into the primary cell every cycle, the
+        # adaptive path only on full rebuilds: compare modulo lattice
+        # translations
+        d = (np.asarray(st_a.positions) - np.asarray(st_s.positions)) \
+            @ np.linalg.inv(np.asarray(geom.cell))
+        d -= np.round(d)
+        err = np.abs(d @ np.asarray(geom.cell)).max()
+        assert err < 1e-8, err
+        assert not sys_s.overflowed(st_s)
+
     def test_respa3l_launch_chunks_exact(self):
         """launch_chunks > 1 must reproduce the per-cycle-launch
         trajectory exactly on the 3-level RESPA path too."""

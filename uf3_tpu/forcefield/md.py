@@ -59,6 +59,7 @@ class MDSystem:
                  fused: str = "shared",
                  trio_triangle: bool = False,
                  eager_refilter: bool = True,
+                 static_rebuild: bool = False,
                  masses: np.ndarray = None):
         self.params, self.static = pot.build_potential(model, dtype=dtype)
         from uf3_tpu.ops import pallas_trio as pt
@@ -109,6 +110,13 @@ class MDSystem:
         # unconditional 3B refilter at every chunk boundary (see
         # _rebuild_switch): the staleness-hardened default
         self.eager_refilter = bool(eager_refilter)
+        # unconditional FULL rebuild at every chunk boundary: with the
+        # blocked two-stage pack the full cell-list rebuild costs a
+        # few ms, so the adaptive trigger (a top-2 drift reduction
+        # feeding a lax.switch whose pipeline flush costs ~1.5 ms) no
+        # longer pays for itself -- a static schedule is both faster
+        # and fresher (every cycle starts with exact lists)
+        self.static_rebuild = bool(static_rebuild)
         # r-RESPA multiple time stepping: the smooth 2-body tail
         # (r > r_lo, split by a C^2 quintic switch) integrates on the
         # outer step dt * n_respa; the stiff short-range 2-body +
@@ -544,6 +552,10 @@ class MDSystem:
             nn2, nn3 = self.build_lists(x_w, cell_c, wrapped=True)
             return x_w, nn2, nn3
 
+        if self.static_rebuild:
+            # unconditional full rebuild: no trigger reduction, no
+            # switch -- straight-line code XLA can pipeline
+            return _full(state.positions, state.nbr2, state.nbr3)
         trigger2 = nb.needs_rebuild(state.nbr2, state.positions,
                                     0.5 * self.skin_2b)
         if self.two_tier and self.eager_refilter:
