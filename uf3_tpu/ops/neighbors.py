@@ -240,30 +240,25 @@ def filter_neighbor_list(nbr: NeighborList, positions, cell,
     within = nbr.mask & (d2 < r_cut * r_cut)
     count = jnp.sum(within, axis=1)
     overflow = nbr.overflow | jnp.any(count > capacity)
-    # order-preserving prefix-sum pack (integer one-hot contraction):
-    # much cheaper than a per-row top_k sort, and exact -- all
-    # arithmetic is int32 on the VPU (no MXU bf16 rounding)
+    # order-preserving prefix-sum pack: extract only the parent LANE
+    # index per output slot (capacity masked reductions over the
+    # (N, P) int32 plane -- exact, no sort, no MXU rounding), then
+    # one take_along_axis per field instead of materializing an
+    # (N, P, C) one-hot and contracting it five times
     slot = jnp.cumsum(within.astype(jnp.int32), axis=1) - 1
-    onehot = (within[:, :, None]
-              & (slot[:, :, None]
-                 == jnp.arange(capacity, dtype=jnp.int32)[None, None, :])
-              ).astype(jnp.int32)                      # (N, P, C)
-    idx = jnp.sum(onehot * nbr.idx[:, :, None], axis=1)
     parent_cap = nbr.idx.shape[1]
-    sel = jnp.sum(onehot * jnp.arange(parent_cap,
-                                      dtype=jnp.int32)[None, :, None],
-                  axis=1)                              # (N, C)
-    # the three integer shift components ride one contraction each
-    shift_i = nbr.shift.astype(jnp.int32)
-    shift = jnp.stack(
-        [jnp.sum(onehot * shift_i[:, :, c][:, :, None], axis=1)
-         for c in range(3)], axis=-1).astype(positions.dtype)
+    lane = jnp.arange(parent_cap, dtype=jnp.int32)[None, :]
+    sel = jnp.stack(
+        [jnp.sum(jnp.where(within & (slot == s), lane, 0), axis=1)
+         for s in range(capacity)], axis=-1)           # (N, C)
     mask = (jnp.arange(capacity, dtype=jnp.int32)[None, :]
             < count[:, None])
+    sel = jnp.where(mask, sel, 0)
+    idx = jnp.take_along_axis(nbr.idx, sel, axis=1)
+    shift = jnp.take_along_axis(nbr.shift, sel[:, :, None], axis=1)
     self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
     idx = jnp.where(mask, idx, self_idx)
     shift = jnp.where(mask[:, :, None], shift, 0.0)
-    sel = jnp.where(mask, sel, 0)
     rev = _reverse_slots(idx, shift, mask) if with_rev \
         else jnp.zeros_like(idx)
     if reference_positions is None:
