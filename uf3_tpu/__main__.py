@@ -86,7 +86,8 @@ def cmd_md(model_path: str, args) -> None:
     atoms = bulk(element, "bcc", a=args.lattice) * args.reps
     print(f"{len(atoms)} atoms of {element}")
     system = MDSystem(model, atoms, dtype=jnp.float32,
-                      n_respa=args.respa, respa_mid=args.respa_mid)
+                      n_respa=args.respa, respa_mid=args.respa_mid,
+                      static_rebuild=args.static_rebuild)
     state = system.init_state(temperature=args.temperature)
     callback = None
     if args.traj:
@@ -134,6 +135,9 @@ def main() -> None:
     p_md.add_argument("--respa-mid", type=int, default=1,
                       help="3-level r-RESPA: inner steps per mid "
                            "(3-body force) step; must divide --respa")
+    p_md.add_argument("--static-rebuild", action="store_true",
+                      help="unconditional full neighbor rebuild every "
+                           "cycle (no adaptive trigger/switch)")
     p_md.add_argument("--traj", default=None,
                       help="write an extended-xyz trajectory (one "
                            "frame per chunk) to this path")
