@@ -112,6 +112,13 @@ VARIANTS = {
     "pack2_static_lc20": dict(rebuild_every=36, skin=0.5, n_respa=12,
                               respa_mid=6, respa_switch=(2.5, 3.5),
                               static_rebuild=True, launch_chunks=20),
+    # static rebuild needs the 2B skin to cover only ONE cycle's
+    # drift: a tighter skin shrinks the capacity and the tail gather
+    "pack2_static_sk08_c64": dict(rebuild_every=36, skin=0.5,
+                                  n_respa=12, respa_mid=6,
+                                  respa_switch=(2.5, 3.5),
+                                  static_rebuild=True, skin_2b=0.8,
+                                  capacity_2b=64),
 }
 
 
